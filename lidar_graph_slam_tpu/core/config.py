@@ -1,0 +1,177 @@
+"""Typed configuration tree + YAML loader + CLI overrides.
+
+Reproduces the reference's full ROS 2 parameter surface (SURVEY.md §5.6) with the same knob
+names where sensible:
+  * prefilter:  `points_prefiltering/launch/points_prefiltering.launch.xml:2-13` and
+    `src/points_prefiltering.cpp:40-51` (leaf_size, random_sample_num, mean_k, stddev,
+    min/max_x/y/z crop box, min/max_distance_cloud).
+  * front end:  `lidar_scan_matcher/config/lidar_scan_matcher.param.yaml:1-26`
+    (registration_method, displacement, max_scan_accumulate_num, NDT/GICP knobs).
+  * back end:   `graph_based_slam/config/graph_based_slam.param.yaml:1-29`
+    (rate, search_key_frame_num, score_threshold, search_for_candidate_threshold,
+    accumulate_distance_threshold, registration knobs).
+
+Defaults below equal the reference defaults so the default-config trajectory is the implicit
+baseline (BASELINE.md). TPU-only capacity knobs (static padded shapes) are grouped under
+`CapacityConfig` — they have no reference counterpart because dynamic allocation hid them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+@dataclass(frozen=True)
+class CapacityConfig:
+    """Static-shape capacities (XLA compiles one program per distinct capacity set)."""
+
+    raw_points: int = 131072        # max points per raw scan
+    filtered_points: int = 32768    # after prefiltering
+    keyframe_points: int = 16384    # stored per keyframe
+    submap_points: int = 131072     # accumulated odometry target submap
+    loop_submap_points: int = 131072  # loop-closure candidate submap
+    max_keyframes: int = 4096       # graph capacity
+    voxel_capacity: int = 65536     # max occupied voxels in a voxel-grid build
+    max_loop_factors: int = 128
+
+
+@dataclass(frozen=True)
+class PrefilterConfig:
+    """points_prefiltering node (`points_prefiltering.cpp:65-87`)."""
+
+    min_distance: float = 1.0        # ‖p‖ <= min dropped (`:102-112`)
+    max_distance: float = 0.0        # declared-but-unused in reference (`:51`); 0 disables
+    use_crop: bool = False           # crop() dormant in reference (`:73-74,89-100`)
+    min_xyz: tuple = (-50.0, -50.0, -50.0)
+    max_xyz: tuple = (50.0, 50.0, 50.0)
+    leaf_size: float = 0.1           # VoxelGrid leaf (`launch.xml:2`)
+    use_outlier_filter: bool = True
+    mean_k: int = 30                 # SOR neighbors (`launch.xml:4`)
+    stddev: float = 1.2             # SOR sigma multiplier (`launch.xml:5`)
+    use_random_sampling: bool = False  # dormant in reference (`:123-130`)
+    random_sample_num: int = 5000
+
+
+@dataclass(frozen=True)
+class NdtConfig:
+    """ndt_omp knobs (`lidar_scan_matcher.cpp:55-72`; param.yaml:9-15)."""
+
+    resolution: float = 2.0
+    step_size: float = 0.1
+    transform_epsilon: float = 0.01
+    max_iterations: int = 64
+    # DIRECT7 neighborhood (`lidar_scan_matcher.cpp:69`) is the only search mode we build.
+    outlier_ratio: float = 0.55      # Magnusson mixture weight (ndt_omp default)
+
+
+@dataclass(frozen=True)
+class GicpConfig:
+    """fast_gicp / PCL GICP knobs (`lidar_scan_matcher.cpp:37-96`)."""
+
+    max_iterations: int = 64
+    correspondence_randomness: int = 20   # k for covariance estimation (`:43,48`)
+    max_correspondence_distance: float = 2.0  # (`:51`)
+    transform_epsilon: float = 0.01
+    use_reciprocal: bool = False          # (`:84-85,90`)
+
+
+@dataclass(frozen=True)
+class IcpConfig:
+    """PCL ICP as hardcoded for loop verification (`graph_based_slam.cpp:142-151`)."""
+
+    max_correspondence_distance: float = 30.0
+    max_iterations: int = 100
+    transform_epsilon: float = 1e-8
+    euclidean_fitness_epsilon: float = 1e-6
+
+
+@dataclass(frozen=True)
+class ScanMatcherConfig:
+    """lidar_scan_matcher front end (`param.yaml:1-26`)."""
+
+    registration_method: str = "NDT"  # NDT | GICP | ICP (reference: NDT_OMP | FAST_GICP | GICP)
+    displacement: float = 1.0         # keyframe trigger [m] (`param.yaml:5`)
+    max_scan_accumulate_num: int = 20  # submap window [keyframes] (`param.yaml:6`)
+    ndt: NdtConfig = field(default_factory=NdtConfig)
+    gicp: GicpConfig = field(default_factory=GicpConfig)
+
+
+@dataclass(frozen=True)
+class GraphSlamConfig:
+    """graph_based_slam back end (`param.yaml:1-29`, `graph_based_slam.cpp:27-155`)."""
+
+    rate: float = 1.0                       # loop-search cadence [Hz] (`param.yaml:3`)
+    loop_search_period_frames: int = 10     # our frame-count analog of the 1 Hz wall timer
+    search_key_frame_num: int = 20          # submap half-window ±20 (`param.yaml:4`)
+    score_threshold: float = 0.3            # ICP fitness accept gate (`param.yaml:6`)
+    search_for_candidate_threshold: float = 15.0  # euclid gate [m] (`param.yaml:7`)
+    accumulate_distance_threshold: float = 100.0  # accum-dist gate [m] (`param.yaml:8`)
+    registration_method: str = "ICP"        # loop verifier (`param.yaml:9`)
+    loop_submap_leaf: float = 0.5           # voxel leaf for loop submap (`cpp:61,311-313`)
+    icp: IcpConfig = field(default_factory=IcpConfig)
+    # Prior/odometry noise sigma^2 = [1e-6 x3 (rot), 1e-8, 1e-8, 1e-6 (trans)] (`cpp:67-69`).
+    odom_noise_var: tuple = (1e-6, 1e-6, 1e-6, 1e-8, 1e-8, 1e-6)
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    prefilter: PrefilterConfig = field(default_factory=PrefilterConfig)
+    scan_matcher: ScanMatcherConfig = field(default_factory=ScanMatcherConfig)
+    graph_slam: GraphSlamConfig = field(default_factory=GraphSlamConfig)
+    capacity: CapacityConfig = field(default_factory=CapacityConfig)
+    enable_loop_closure: bool = True
+    dtype: str = "float32"
+
+
+# --- loading / overrides ----------------------------------------------------------------
+
+
+def _update_dataclass(obj: Any, updates: dict) -> Any:
+    """Recursively apply a nested dict of overrides to a (frozen) dataclass tree."""
+    kwargs = {}
+    for key, value in updates.items():
+        if not hasattr(obj, key):
+            raise KeyError(f"unknown config key {key!r} for {type(obj).__name__}")
+        current = getattr(obj, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, dict):
+            kwargs[key] = _update_dataclass(current, value)
+        else:
+            if isinstance(current, tuple) and isinstance(value, list):
+                value = tuple(value)
+            kwargs[key] = value
+    return dataclasses.replace(obj, **kwargs)
+
+
+def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) -> PipelineConfig:
+    """Build a PipelineConfig from defaults, then a YAML file, then explicit overrides."""
+    cfg = PipelineConfig()
+    if path is not None:
+        import yaml
+
+        with open(path) as f:
+            data = yaml.safe_load(f) or {}
+        cfg = _update_dataclass(cfg, data)
+    if overrides:
+        cfg = _update_dataclass(cfg, overrides)
+    return cfg
+
+
+def apply_cli_overrides(cfg: PipelineConfig, pairs: list) -> PipelineConfig:
+    """Apply `a.b.c=value` strings (CLI `--set`) onto the config tree."""
+    import ast
+
+    nested: dict = {}
+    for pair in pairs:
+        key, _, raw = pair.partition("=")
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw
+        node = nested
+        parts = key.strip().split(".")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+    return _update_dataclass(cfg, nested)

@@ -1,0 +1,229 @@
+"""Voxel-grid kernels: centroid downsampling and NDT voxel-Gaussian construction.
+
+TPU-native replacement for `pcl::VoxelGrid` (used by the prefilter at
+`points_prefiltering/src/points_prefiltering.cpp:114-121`, the loop-closure submap at
+`graph_based_slam/src/graph_based_slam.cpp:311-313`, and map export at `:487-494`) and for
+ndt_omp's target-voxel Gaussian build (per-voxel mean + covariance with eigenvalue
+regularization).
+
+Design: no pointer-chasing hash tables. Points are keyed by integer voxel coordinates packed
+into a single monotone int32, sorted on-chip (XLA's sort is fast on TPU), and reduced with
+`segment_sum` over sorted segment ids. Voxel lookup for NDT's DIRECT7 neighborhood is a
+vectorized binary search (`searchsorted`) over the sorted key array — O(log V) per query with
+zero divergence, instead of a kd-tree walk.
+
+Key packing uses (11, 11, 8) bits for (x, y, z) relative to the batch min corner: 2048 x 2048
+x 256 cells. At the prefilter leaf (0.1 m) that spans 204 m x 204 m x 25 m per scan; at NDT
+resolution (2.0 m) it spans 4 km x 4 km x 512 m. Out-of-range points clamp to border cells.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from lidar_graph_slam_tpu.core.pointcloud import PAD_VALUE, pad_points
+
+_BITS_X, _BITS_Y, _BITS_Z = 11, 11, 8
+_NX, _NY, _NZ = 1 << _BITS_X, 1 << _BITS_Y, 1 << _BITS_Z
+INVALID_KEY = jnp.iinfo(jnp.int32).max
+
+
+def voxel_coords(points: jax.Array, origin: jax.Array, inv_leaf) -> jax.Array:
+    """Integer voxel coords [N, 3] relative to `origin`, clamped into the packable range."""
+    c = jnp.floor((points - origin) * inv_leaf).astype(jnp.int32)
+    return jnp.clip(c, 0, jnp.array([_NX - 1, _NY - 1, _NZ - 1], dtype=jnp.int32))
+
+
+def pack_key(coords: jax.Array) -> jax.Array:
+    """Pack clamped coords [..., 3] into a single monotone non-negative int32 key."""
+    return (
+        (coords[..., 0] << (_BITS_Y + _BITS_Z))
+        | (coords[..., 1] << _BITS_Z)
+        | coords[..., 2]
+    )
+
+
+def min_corner(points: jax.Array, mask: jax.Array) -> jax.Array:
+    """Min corner over valid points (padded rows sit at +PAD_VALUE so plain min works),
+    pulled back by one leaf so floor() never goes negative from fp rounding."""
+    return jnp.min(jnp.where(mask[:, None], points, PAD_VALUE), axis=0)
+
+
+@struct.dataclass
+class VoxelGrid:
+    """Centroid-downsample result (pcl::VoxelGrid semantics: one centroid per occupied voxel)."""
+
+    points: jax.Array      # [capacity, 3] centroids (padded with PAD_VALUE)
+    mask: jax.Array        # [capacity] bool
+    num_voxels: jax.Array  # scalar int32
+    overflow: jax.Array    # scalar bool — True if > capacity voxels were occupied
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def voxel_downsample(points: jax.Array, mask: jax.Array, leaf: jax.Array, capacity: int) -> VoxelGrid:
+    """Centroid-per-voxel downsample of a masked cloud into `capacity` output slots."""
+    n = points.shape[0]
+    origin = min_corner(points, mask) - leaf
+    keys = pack_key(voxel_coords(points, origin, 1.0 / leaf))
+    keys = jnp.where(mask, keys, INVALID_KEY)
+
+    keys_sorted, px, py, pz = jax.lax.sort(
+        (keys, points[:, 0], points[:, 1], points[:, 2]), num_keys=1
+    )
+    pts_sorted = jnp.stack([px, py, pz], axis=-1)
+    valid_sorted = keys_sorted != INVALID_KEY
+
+    first = jnp.concatenate(
+        [valid_sorted[:1], (keys_sorted[1:] != keys_sorted[:-1]) & valid_sorted[1:]]
+    )
+    seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1  # -1 for rows before the first segment
+    seg_id = jnp.where(valid_sorted, seg_id, capacity)  # invalid rows dropped by segment_sum
+
+    sums = jax.ops.segment_sum(
+        jnp.where(valid_sorted[:, None], pts_sorted, 0.0), seg_id, num_segments=capacity + 1,
+        indices_are_sorted=True,
+    )[:capacity]
+    counts = jax.ops.segment_sum(
+        valid_sorted.astype(jnp.float32), seg_id, num_segments=capacity + 1,
+        indices_are_sorted=True,
+    )[:capacity]
+
+    num_voxels = jnp.sum(first.astype(jnp.int32))
+    out_mask = jnp.arange(capacity) < jnp.minimum(num_voxels, capacity)
+    centroids = sums / jnp.maximum(counts, 1.0)[:, None]
+    return VoxelGrid(
+        points=pad_points(centroids, out_mask),
+        mask=out_mask,
+        num_voxels=num_voxels,
+        overflow=num_voxels > capacity,
+    )
+
+
+@struct.dataclass
+class NdtVoxelMap:
+    """Sorted voxel-Gaussian map for NDT registration (ndt_omp's TargetGrid equivalent).
+
+    `keys` is sorted ascending with INVALID_KEY padding, enabling `lookup()` via binary
+    search. Covariance inverses are pre-regularized (ndt_omp inflates small eigenvalues to
+    1e-2 of the largest so planar voxels stay well-conditioned) and pre-inverted.
+    """
+
+    keys: jax.Array        # [capacity] int32 sorted
+    means: jax.Array       # [capacity, 3]
+    inv_covs: jax.Array    # [capacity, 3, 3]
+    valid: jax.Array       # [capacity] bool (occupied AND >= min_points)
+    origin: jax.Array      # [3] min corner used for packing
+    leaf: jax.Array        # scalar voxel resolution
+    num_voxels: jax.Array  # scalar int32
+
+
+def _eigh3x3(A: jax.Array):
+    """Batched symmetric 3x3 eigendecomposition (XLA-lowered; fine off the hot path)."""
+    return jnp.linalg.eigh(A)
+
+
+def regularize_covariance(cov: jax.Array, min_eig_ratio: float = 1e-2):
+    """Inflate small eigenvalues to `min_eig_ratio * lambda_max` (ndt_omp-style) and return
+    (cov_reg, inv_cov_reg)."""
+    w, V = _eigh3x3(cov)
+    w_max = jnp.maximum(w[..., 2:3], 1e-9)
+    w_reg = jnp.maximum(w, min_eig_ratio * w_max)
+    cov_reg = (V * w_reg[..., None, :]) @ jnp.swapaxes(V, -1, -2)
+    inv = (V * (1.0 / w_reg)[..., None, :]) @ jnp.swapaxes(V, -1, -2)
+    return cov_reg, inv
+
+
+@partial(jax.jit, static_argnames=("capacity", "min_points"))
+def build_ndt_map(
+    points: jax.Array,
+    mask: jax.Array,
+    resolution: jax.Array,
+    capacity: int,
+    min_points: int = 6,
+) -> NdtVoxelMap:
+    """Build per-voxel Gaussians (mean + regularized inverse covariance) from a masked cloud.
+
+    ndt_omp requires >= 6 points per voxel before trusting a Gaussian; sparser voxels are
+    marked invalid and contribute nothing to the NDT score.
+    """
+    origin = min_corner(points, mask) - resolution
+    keys = pack_key(voxel_coords(points, origin, 1.0 / resolution))
+    keys = jnp.where(mask, keys, INVALID_KEY)
+
+    keys_sorted, px, py, pz = jax.lax.sort(
+        (keys, points[:, 0], points[:, 1], points[:, 2]), num_keys=1
+    )
+    pts_sorted = jnp.stack([px, py, pz], axis=-1)
+    valid_sorted = keys_sorted != INVALID_KEY
+
+    first = jnp.concatenate(
+        [valid_sorted[:1], (keys_sorted[1:] != keys_sorted[:-1]) & valid_sorted[1:]]
+    )
+    seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1
+    seg_id = jnp.where(valid_sorted, seg_id, capacity)
+
+    pts_masked = jnp.where(valid_sorted[:, None], pts_sorted, 0.0)
+    sums = jax.ops.segment_sum(pts_masked, seg_id, num_segments=capacity + 1, indices_are_sorted=True)[:capacity]
+    counts = jax.ops.segment_sum(valid_sorted.astype(jnp.float32), seg_id, num_segments=capacity + 1, indices_are_sorted=True)[:capacity]
+    outer = pts_masked[:, :, None] * pts_masked[:, None, :]
+    outer_sums = jax.ops.segment_sum(
+        outer.reshape(-1, 9), seg_id, num_segments=capacity + 1, indices_are_sorted=True
+    )[:capacity].reshape(capacity, 3, 3)
+    seg_keys = jax.ops.segment_max(
+        jnp.where(valid_sorted, keys_sorted, jnp.int32(0)), seg_id, num_segments=capacity + 1,
+        indices_are_sorted=True,
+    )[:capacity]
+
+    num_voxels = jnp.sum(first.astype(jnp.int32))
+    occupied = jnp.arange(capacity) < jnp.minimum(num_voxels, capacity)
+    cnt = jnp.maximum(counts, 1.0)[:, None]
+    means = sums / cnt
+    # Unbiased-ish sample covariance (ndt_omp divides by n-1).
+    cov = (outer_sums - cnt[..., None] * means[:, :, None] * means[:, None, :]) / jnp.maximum(
+        counts - 1.0, 1.0
+    )[:, None, None]
+    valid = occupied & (counts >= min_points)
+    # Only regularize valid voxels; others get identity to keep eigh well-posed.
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=cov.dtype), cov.shape)
+    cov_safe = jnp.where(valid[:, None, None], cov, eye)
+    _, inv_covs = regularize_covariance(cov_safe)
+
+    keys_out = jnp.where(occupied, seg_keys, INVALID_KEY)
+    return NdtVoxelMap(
+        keys=keys_out,
+        means=pad_points(means, occupied),
+        inv_covs=inv_covs,
+        valid=valid,
+        origin=origin,
+        leaf=jnp.asarray(resolution, dtype=points.dtype),
+        num_voxels=num_voxels,
+    )
+
+
+# DIRECT7 neighborhood: the voxel containing the point plus its 6 face-adjacent voxels
+# (ndt_omp NeighborSearchMethod::DIRECT7, selected at `lidar_scan_matcher.cpp:69`).
+DIRECT7_OFFSETS = jnp.array(
+    [[0, 0, 0], [1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+    dtype=jnp.int32,
+)
+
+
+def lookup_direct7(vmap: NdtVoxelMap, query_points: jax.Array):
+    """For each query point, gather the DIRECT7 neighbor voxels' Gaussians.
+
+    Returns (means [Q, 7, 3], inv_covs [Q, 7, 3, 3], found [Q, 7]).
+    """
+    coords = voxel_coords(query_points, vmap.origin, 1.0 / vmap.leaf)  # [Q, 3]
+    ncoords = coords[:, None, :] + DIRECT7_OFFSETS[None, :, :]         # [Q, 7, 3]
+    in_range = jnp.all(
+        (ncoords >= 0) & (ncoords < jnp.array([_NX, _NY, _NZ], dtype=jnp.int32)), axis=-1
+    )
+    keys = pack_key(jnp.clip(ncoords, 0, jnp.array([_NX - 1, _NY - 1, _NZ - 1], dtype=jnp.int32)))
+    idx = jnp.searchsorted(vmap.keys, keys)            # [Q, 7]
+    idx = jnp.clip(idx, 0, vmap.keys.shape[0] - 1)
+    hit = (vmap.keys[idx] == keys) & in_range & vmap.valid[idx]
+    return vmap.means[idx], vmap.inv_covs[idx], hit
