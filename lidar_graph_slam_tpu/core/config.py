@@ -64,6 +64,10 @@ class NdtConfig:
     max_iterations: int = 64
     # DIRECT7 neighborhood (`lidar_scan_matcher.cpp:69`) is the only search mode we build.
     outlier_ratio: float = 0.55      # Magnusson mixture weight (ndt_omp default)
+    # Coarse-to-fine extension (no reference counterpart): a first pass on a 2x-coarser
+    # voxel map widens the convergence basin beyond ndt_omp's. 0 disables.
+    coarse_resolution: float = 4.0
+    coarse_iterations: int = 16
 
 
 @dataclass(frozen=True)
@@ -94,6 +98,10 @@ class ScanMatcherConfig:
     registration_method: str = "NDT"  # NDT | GICP | ICP (reference: NDT_OMP | FAST_GICP | GICP)
     displacement: float = 1.0         # keyframe trigger [m] (`param.yaml:5`)
     max_scan_accumulate_num: int = 20  # submap window [keyframes] (`param.yaml:6`)
+    # Initial-guess model. The reference hardcodes constant-pose (previous pose,
+    # `lidar_scan_matcher.cpp:165`); constant-velocity extrapolation is strictly more
+    # robust at high per-frame motion and is our default. Set "constant_pose" for parity.
+    initial_guess: str = "constant_velocity"
     ndt: NdtConfig = field(default_factory=NdtConfig)
     gicp: GicpConfig = field(default_factory=GicpConfig)
 

@@ -1,0 +1,191 @@
+"""Scan-to-submap LiDAR odometry front end.
+
+TPU-native re-design of the `lidar_scan_matcher` node (`lidar_scan_matcher/src/
+lidar_scan_matcher.cpp:122-250`): pluggable NDT/GICP/ICP registration, constant-pose initial
+guess (`:165` — previous pose, no velocity extrapolation), displacement-triggered keyframing
+(`:180-183`, 1.0 m default), submap target = last `max_scan_accumulate_num` (20) keyframe
+clouds transformed by their stored poses (`:199-212`), and non-convergence frame dropping
+(`:167-170`).
+
+Architecture notes (not a port):
+  * The ROS callback + DDS executor becomes a host-side `ScanMatcher.process()` loop driving
+    two jitted programs: `align` (per frame) and `rebuild submap` (per keyframe). All device
+    arrays are fixed-shape; the only host round trips are the scan upload and the scalar
+    convergence/displacement reads that steer keyframing.
+  * The last-K keyframe window lives in a device-side ring buffer [K, N, 3]; the submap
+    rebuild transforms all K clouds with one einsum and re-sorts — the reference's
+    `setInputTarget` O(submap) rebuild, but on-chip.
+  * The mutex-free functional state replaces the reference's shared-mutable members
+    (`lidar_scan_matcher.hpp:57-127`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from lidar_graph_slam_tpu.core import se3
+from lidar_graph_slam_tpu.core.config import ScanMatcherConfig
+from lidar_graph_slam_tpu.core.pointcloud import PAD_VALUE, PointCloud
+from lidar_graph_slam_tpu.ops.voxel import build_ndt_map
+from lidar_graph_slam_tpu.ops.neighbors import build_hash_grid
+from lidar_graph_slam_tpu.registration import gicp, icp, ndt
+
+
+@struct.dataclass
+class SubmapRing:
+    """Ring buffer of the last-K keyframe clouds (sensor frame) + their poses."""
+
+    clouds: jax.Array   # [K, N, 3]
+    masks: jax.Array    # [K, N]
+    poses: jax.Array    # [K, 4, 4]
+    used: jax.Array     # [K] bool — slot holds a real keyframe
+
+
+def init_ring(window: int, n_points: int) -> SubmapRing:
+    return SubmapRing(
+        clouds=jnp.full((window, n_points, 3), PAD_VALUE, dtype=jnp.float32),
+        masks=jnp.zeros((window, n_points), dtype=bool),
+        poses=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (window, 4, 4)),
+        used=jnp.zeros((window,), dtype=bool),
+    )
+
+
+@partial(jax.jit, donate_argnames=("ring",))
+def ring_insert(ring: SubmapRing, slot: jax.Array, points, mask, pose) -> SubmapRing:
+    return SubmapRing(
+        clouds=ring.clouds.at[slot].set(points),
+        masks=ring.masks.at[slot].set(mask),
+        poses=ring.poses.at[slot].set(pose),
+        used=ring.used.at[slot].set(True),
+    )
+
+
+def assemble_submap(ring: SubmapRing):
+    """Transform every ring cloud into the map frame and flatten: [K*N, 3], [K*N]."""
+    world = se3.transform_points(ring.poses, ring.clouds)  # [K, N, 3]
+    mask = ring.masks & ring.used[:, None]
+    world = jnp.where(mask[..., None], world, PAD_VALUE)
+    return world.reshape(-1, 3), mask.reshape(-1)
+
+
+class ScanMatcher:
+    """Host-side front-end driver with jitted compute stages.
+
+    process(scan_points, scan_mask) -> dict with pose [4,4] np, is_keyframe, converged,
+    fitness, iterations — the information the reference publishes per frame
+    (`lidar_scan_matcher.cpp:226-249`).
+    """
+
+    def __init__(self, cfg: ScanMatcherConfig, scan_capacity: int, map_voxel_capacity: int = 65536):
+        self.cfg = cfg
+        self.scan_capacity = scan_capacity
+        self.map_voxel_capacity = map_voxel_capacity
+        self.method = cfg.registration_method.upper()
+        if self.method not in ("NDT", "GICP", "ICP"):
+            raise ValueError(f"unknown registration_method {cfg.registration_method!r}")
+
+        self.ring = init_ring(cfg.max_scan_accumulate_num, scan_capacity)
+        self.pose = np.eye(4, dtype=np.float32)
+        self.last_motion = np.eye(4, dtype=np.float32)  # T_{t-1}^{-1} T_t for velocity model
+        self.last_kf_pose = np.eye(4, dtype=np.float32)
+        self.accum_distance = 0.0
+        self.n_keyframes = 0
+        self.n_frames = 0
+        self.target = None
+        self.keyframe_log: list[dict] = []  # host-side keyframe record for the back end
+
+        if self.method == "NDT":
+            self._build_target, self._align = ndt.make_ndt_matcher(cfg.ndt, map_voxel_capacity)
+        elif self.method == "GICP":
+            self._build_target, self._align = gicp.make_gicp_matcher(cfg.gicp)
+        else:
+            self._build_target, self._align = icp.make_icp_matcher(
+                cfg.gicp, cell_size=cfg.gicp.max_correspondence_distance
+            )
+
+    # -- internal jit-side helpers ------------------------------------------------------
+
+    def _rebuild_target(self):
+        pts, mask = assemble_submap(self.ring)
+        self.target = self._build_target(pts, mask)
+
+    def _register(self, cloud: PointCloud, init_T):
+        if self.method == "GICP":
+            covs, _ = gicp.estimate_covariances(
+                cloud.points, cloud.mask, self.cfg.gicp.max_correspondence_distance,
+                k=self.cfg.gicp.correspondence_randomness,
+            )
+            return self._align(self.target, cloud.points, cloud.mask, init_T, covs)
+        return self._align(self.target, cloud.points, cloud.mask, init_T)
+
+    def _add_keyframe(self, cloud: PointCloud, pose: np.ndarray, delta: float):
+        slot = jnp.asarray(self.n_keyframes % self.cfg.max_scan_accumulate_num, jnp.int32)
+        self.ring = ring_insert(self.ring, slot, cloud.points, cloud.mask, jnp.asarray(pose))
+        self.accum_distance += float(delta)
+        self.keyframe_log.append(
+            {
+                "id": self.n_keyframes,
+                "pose": pose.copy(),
+                "accum_distance": self.accum_distance,
+                "cloud": np.asarray(cloud.points),
+                "cloud_mask": np.asarray(cloud.mask),
+                "frame_index": self.n_frames,
+            }
+        )
+        self.n_keyframes += 1
+        self.last_kf_pose = pose.copy()
+        self._rebuild_target()
+
+    # -- public API ---------------------------------------------------------------------
+
+    def process(self, cloud: PointCloud) -> dict:
+        """Feed one prefiltered scan (sensor frame); returns per-frame odometry outputs."""
+        self.n_frames += 1
+        if self.n_keyframes == 0:
+            # First-scan bootstrap (`lidar_scan_matcher.cpp:133-160`): identity pose,
+            # keyframe 0, target := the scan itself.
+            self._add_keyframe(cloud, self.pose, 0.0)
+            return {
+                "pose": self.pose.copy(),
+                "is_keyframe": True,
+                "converged": True,
+                "fitness": 0.0,
+                "iterations": 0,
+            }
+
+        if self.cfg.initial_guess == "constant_velocity":
+            guess = self.pose @ self.last_motion
+        else:  # "constant_pose": the reference's model (`lidar_scan_matcher.cpp:165`)
+            guess = self.pose
+        res = self._register(cloud, jnp.asarray(guess))
+        converged = bool(res.converged)
+        if not converged:
+            # Reference drops the frame and keeps the previous pose (`:167-170`).
+            return {
+                "pose": self.pose.copy(),
+                "is_keyframe": False,
+                "converged": False,
+                "fitness": float(res.fitness),
+                "iterations": int(res.iterations),
+            }
+
+        new_pose = np.asarray(res.transform)
+        self.last_motion = (np.linalg.inv(self.pose) @ new_pose).astype(np.float32)
+        self.pose = new_pose
+        delta = float(np.linalg.norm(self.pose[:3, 3] - self.last_kf_pose[:3, 3]))
+        is_keyframe = delta >= self.cfg.displacement
+        if is_keyframe:
+            self._add_keyframe(cloud, self.pose, delta)
+        return {
+            "pose": self.pose.copy(),
+            "is_keyframe": is_keyframe,
+            "converged": True,
+            "fitness": float(res.fitness),
+            "iterations": int(res.iterations),
+        }

@@ -1,0 +1,155 @@
+"""Voxelized Normal Distributions Transform registration (ndt_omp equivalent).
+
+Replaces `pclomp::NormalDistributionsTransform` — the reference front end's default matcher
+(`registration_method: "NDT_OMP"`, `lidar_scan_matcher/config/lidar_scan_matcher.param.yaml:4`;
+instantiated with DIRECT7 neighbor search, resolution/step/epsilon/max-iteration knobs at
+`lidar_scan_matcher/src/lidar_scan_matcher.cpp:55-72`).
+
+Design (TPU-first, not a port):
+  * The target voxel-Gaussian map is built once per submap by `ops.voxel.build_ndt_map`
+    (on-chip sort + segment reduction) instead of ndt_omp's per-voxel STL containers.
+  * Each iteration transforms all source points, gathers the DIRECT7 neighbor Gaussians
+    with one vectorized binary search, and accumulates 6x6 normal equations with einsums
+    that XLA fuses and maps onto the MXU — OpenMP's thread pool becomes pure data
+    parallelism over the point axis.
+  * Optimization is iteratively-reweighted Gauss-Newton on Magnusson's exponential score:
+    weight w = -d1 d2 exp(-d2/2 * e^T S^-1 e) per (point, voxel) pair. This shares fixed
+    points with ndt_omp's Newton + More-Thuente search while staying positive-definite
+    (no line search needed); the twist-norm cap plays the role of the max step length.
+  * Convergence (|delta| < transform_epsilon, `param.yaml:12`) freezes the state inside a
+    fixed `fori_loop` — XLA-friendly masked early stopping.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from lidar_graph_slam_tpu.core import se3
+from lidar_graph_slam_tpu.core.config import NdtConfig
+from lidar_graph_slam_tpu.ops.voxel import NdtVoxelMap, build_ndt_map, lookup_direct7
+from lidar_graph_slam_tpu.registration.base import (
+    RegistrationResult,
+    accumulate_normal_equations,
+    cap_step,
+    point_jacobian_blocks,
+    solve_damped,
+)
+
+
+def magnusson_constants(resolution: float, outlier_ratio: float):
+    """d1/d2 of the NDT mixture score (Magnusson 2009, as parameterized by ndt_omp)."""
+    c1 = 10.0 * (1.0 - outlier_ratio)
+    c2 = outlier_ratio / (resolution ** 3)
+    d3 = -jnp.log(c2)
+    d1 = -jnp.log(c1 + c2) - d3
+    d2 = -2.0 * jnp.log((-jnp.log(c1 * jnp.exp(-0.5) + c2) - d3) / d1)
+    return d1, d2
+
+
+@partial(jax.jit, static_argnames=("max_iterations",))
+def ndt_align(
+    vmap: NdtVoxelMap,
+    source_points: jax.Array,
+    source_mask: jax.Array,
+    init_transform: jax.Array,
+    step_size: float = 0.1,
+    transform_epsilon: float = 0.01,
+    outlier_ratio: float = 0.55,
+    max_iterations: int = 64,
+) -> RegistrationResult:
+    """Align a masked source cloud to an NDT voxel map. Returns source->map transform."""
+    d1, d2 = magnusson_constants(vmap.leaf, outlier_ratio)
+    w_scale = -d1 * d2  # > 0: d1 < 0 by construction
+
+    def body(_, carry):
+        T, done, iters, _fitness, _inliers = carry
+        p = se3.transform_points(T, source_points)                   # [N, 3]
+        means, icovs, hit = lookup_direct7(vmap, p)                  # [N,7,...]
+        valid = hit & source_mask[:, None]
+        e = p[:, None, :] - means                                    # [N, 7, 3]
+        md2 = jnp.einsum("nki,nkij,nkj->nk", e, icovs, e)
+        w = jnp.where(valid, w_scale * jnp.exp(-0.5 * d2 * md2), 0.0)
+
+        J = point_jacobian_blocks(p)[:, None, :, :]                  # [N,1,3,6] broadcast
+        J = jnp.broadcast_to(J, e.shape[:2] + (3, 6))
+        H, g = accumulate_normal_equations(J, icovs, e, w)
+
+        n_inliers = jnp.sum(valid.astype(jnp.int32))
+        delta = solve_damped(H, g, jnp.asarray(1e-6, H.dtype))
+        delta = cap_step(delta, step_size)
+        # Mean squared distance to the matched voxel means (diagnostic fitness).
+        d2_center = jnp.sum(e[:, 0, :] ** 2, axis=-1)
+        center_valid = valid[:, 0]
+        fitness = jnp.sum(jnp.where(center_valid, d2_center, 0.0)) / jnp.maximum(
+            jnp.sum(center_valid), 1
+        )
+
+        step_ok = jnp.isfinite(delta).all() & (n_inliers > 0)
+        delta = jnp.where(step_ok & ~done, delta, 0.0)
+        T_new = se3.se3_exp(delta) @ T
+        newly_done = jnp.linalg.norm(delta) < transform_epsilon
+        iters = iters + jnp.where(done, 0, 1)
+        return T_new, done | newly_done, iters, fitness, n_inliers
+
+    init = (
+        init_transform.astype(source_points.dtype),
+        jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(jnp.inf, source_points.dtype),
+        jnp.asarray(0, jnp.int32),
+    )
+    T, done, iters, fitness, inliers = jax.lax.fori_loop(0, max_iterations, body, init)
+    return RegistrationResult(
+        transform=T, converged=done, iterations=iters, fitness=fitness, num_inliers=inliers
+    )
+
+
+def make_ndt_matcher(cfg: NdtConfig, map_capacity: int):
+    """Bundle map-build + align closures for the front end's pluggable-matcher slot
+    (the reference's registration factory, `lidar_scan_matcher.cpp:27-115`).
+
+    When `cfg.coarse_resolution` > 0 the target is a two-level pyramid and alignment runs
+    coarse-then-fine, widening the basin past a single-resolution ndt_omp."""
+    use_pyramid = cfg.coarse_resolution > 0.0
+
+    def build_target(points, mask):
+        fine = build_ndt_map(points, mask, jnp.float32(cfg.resolution), capacity=map_capacity)
+        if not use_pyramid:
+            return fine
+        coarse = build_ndt_map(
+            points, mask, jnp.float32(cfg.coarse_resolution), capacity=map_capacity // 2
+        )
+        return (coarse, fine)
+
+    def align(target_map, points, mask, init_T):
+        if use_pyramid:
+            coarse, fine = target_map
+            # Coarse stage: larger step bound, loose epsilon — just reach the fine basin.
+            pre = ndt_align(
+                coarse,
+                points,
+                mask,
+                init_T,
+                step_size=cfg.step_size * 4.0,
+                transform_epsilon=cfg.transform_epsilon,
+                outlier_ratio=cfg.outlier_ratio,
+                max_iterations=cfg.coarse_iterations,
+            )
+            init_T = pre.transform
+        else:
+            fine = target_map
+        return ndt_align(
+            fine,
+            points,
+            mask,
+            init_T,
+            step_size=cfg.step_size,
+            transform_epsilon=cfg.transform_epsilon,
+            outlier_ratio=cfg.outlier_ratio,
+            max_iterations=cfg.max_iterations,
+        )
+
+    return build_target, align

@@ -1,0 +1,56 @@
+"""End-to-end odometry on a synthetic sequence: drift must stay bounded.
+
+This is the engine's analog of BASELINE.json configs[0] ("KITTI 00 short clip: scan-to-scan
+NDT odometry, CPU jax") — shrunk to CI scale on the synthetic world.
+"""
+
+import numpy as np
+import pytest
+
+from lidar_graph_slam_tpu.core.config import ScanMatcherConfig, NdtConfig
+from lidar_graph_slam_tpu.core.pointcloud import PointCloud
+from lidar_graph_slam_tpu.io.synthetic import SyntheticSequence
+from lidar_graph_slam_tpu.odometry.scan_matcher import ScanMatcher
+from lidar_graph_slam_tpu.utils.evaluation import ate_rmse, rpe
+
+
+def run_odometry(cfg, n_frames=30, capacity=4096, seed=0, laps=0.25):
+    seq = SyntheticSequence(n_frames=n_frames, seed=seed, max_points=capacity, laps=laps)
+    sm = ScanMatcher(cfg, scan_capacity=capacity, map_voxel_capacity=32768)
+    est, gt = [], []
+    # Feed poses relative to the first ground-truth pose so est/gt share a start frame.
+    T0_inv = np.linalg.inv(seq.poses[0])
+    for scan, gt_pose in seq:
+        cloud = PointCloud.from_array(scan, capacity=capacity)
+        out = sm.process(cloud)
+        est.append(out["pose"])
+        gt.append((T0_inv @ gt_pose).astype(np.float32))
+    return np.stack(est), np.stack(gt), sm
+
+
+@pytest.mark.slow
+def test_ndt_odometry_bounded_drift():
+    cfg = ScanMatcherConfig(registration_method="NDT", displacement=1.0,
+                            ndt=NdtConfig(resolution=2.0, max_iterations=48))
+    est, gt, sm = run_odometry(cfg, n_frames=30)
+    traveled = np.sum(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1))
+    ate = ate_rmse(est, gt, align=False)
+    # Bounded drift: < 3% of distance traveled without loop closure.
+    assert ate < max(0.03 * traveled, 0.3), f"ATE {ate:.3f} over {traveled:.1f} m"
+    assert sm.n_keyframes >= 3
+    t_rpe, r_rpe = rpe(est, gt)
+    assert t_rpe < 0.25
+
+
+@pytest.mark.slow
+def test_keyframe_displacement_trigger():
+    cfg = ScanMatcherConfig(registration_method="NDT", displacement=2.0,
+                            ndt=NdtConfig(max_iterations=32))
+    est, gt, sm = run_odometry(cfg, n_frames=20, laps=0.2)
+    # Keyframes must be >= displacement apart (approximately, allowing estimate noise).
+    kf_poses = np.stack([k["pose"] for k in sm.keyframe_log])
+    gaps = np.linalg.norm(np.diff(kf_poses[:, :3, 3], axis=0), axis=1)
+    assert (gaps > 1.5).all()
+    # Keyframe log carries monotone accumulated distance (`lidar_scan_matcher.cpp:185`).
+    accum = [k["accum_distance"] for k in sm.keyframe_log]
+    assert all(b > a for a, b in zip(accum, accum[1:]))

@@ -1,0 +1,143 @@
+"""Registration solvers: recover known SE(3) perturbations on synthetic structured scans.
+
+Mirrors the validation the reference never automated: NDT/GICP/ICP each align a perturbed
+copy of a structured scan back to the original within tight pose error bounds
+(the front end's convergence contract, `lidar_scan_matcher.cpp:162-172`).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lidar_graph_slam_tpu.core import se3
+from lidar_graph_slam_tpu.core.pointcloud import PointCloud
+from lidar_graph_slam_tpu.io.synthetic import make_world, simulate_scan
+from lidar_graph_slam_tpu.ops.voxel import build_ndt_map
+from lidar_graph_slam_tpu.ops.neighbors import build_hash_grid
+from lidar_graph_slam_tpu.registration import gicp, icp, ndt
+
+
+@pytest.fixture(scope="module")
+def scans():
+    rng = np.random.default_rng(7)
+    world = make_world(rng, extent=40.0, density=3.0)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [5.0, -3.0, 1.5]
+    target = simulate_scan(world, pose, rng, max_range=45.0, max_points=8192, noise=0.01)
+    source = simulate_scan(world, pose, rng, max_range=45.0, max_points=8192, noise=0.01)
+    return target, source
+
+
+def pose_error(T_est, T_true):
+    d = np.asarray(se3.se3_log(jnp.asarray(T_est) @ jnp.linalg.inv(jnp.asarray(T_true))))
+    return np.linalg.norm(d[3:]), np.linalg.norm(d[:3])
+
+
+def perturbation(seed=3, rot=0.05, trans=0.5):
+    r = np.random.default_rng(seed)
+    xi = np.concatenate([r.normal(size=3) * rot, r.normal(size=3) * trans]).astype(np.float32)
+    return np.asarray(se3.se3_exp(jnp.asarray(xi)))
+
+
+def test_ndt_recovers_transform(scans):
+    target, source = scans
+    tc = PointCloud.from_array(target, capacity=8192)
+    sc = PointCloud.from_array(source, capacity=8192)
+    vm = build_ndt_map(tc.points, tc.mask, jnp.float32(2.0), capacity=8192)
+
+    T_true = perturbation(seed=3)
+    # Source observed from a perturbed pose: moving source by T_true means alignment
+    # should return T_true^{-1}... define: align(src') where src' = T_true @ src.
+    src_moved = (T_true[:3, :3] @ sc.points.T).T + T_true[:3, 3]
+    src_moved = jnp.where(sc.mask[:, None], src_moved, sc.points)
+
+    res = ndt.ndt_align(vm, src_moved, sc.mask, jnp.eye(4), max_iterations=64)
+    t_err, r_err = pose_error(np.asarray(res.transform) @ T_true, np.eye(4))
+    assert bool(res.converged)
+    # NDT's voxel-Gaussian objective carries an intrinsic ~0.1 m bias at resolution 2.0 on
+    # independently-sampled scans; the bound reflects the objective, not solver slack.
+    assert t_err < 0.15, f"translation error {t_err}"
+    assert r_err < 0.02, f"rotation error {r_err}"
+
+
+def test_ndt_uses_initial_guess(scans):
+    # Large offset + good initial guess must converge (constant-pose odometry model,
+    # `lidar_scan_matcher.cpp:165`).
+    target, source = scans
+    tc = PointCloud.from_array(target, capacity=8192)
+    sc = PointCloud.from_array(source, capacity=8192)
+    vm = build_ndt_map(tc.points, tc.mask, jnp.float32(2.0), capacity=8192)
+
+    T_true = np.eye(4, dtype=np.float32)
+    T_true[:3, 3] = [4.0, -2.0, 0.3]
+    src_moved = (T_true[:3, :3] @ sc.points.T).T + T_true[:3, 3]
+    src_moved = jnp.where(sc.mask[:, None], src_moved, sc.points)
+
+    guess = np.linalg.inv(T_true).astype(np.float32)
+    guess[:3, 3] += [0.3, -0.2, 0.05]
+    res = ndt.ndt_align(vm, src_moved, sc.mask, jnp.asarray(guess), max_iterations=64)
+    t_err, r_err = pose_error(np.asarray(res.transform) @ T_true, np.eye(4))
+    assert t_err < 0.15 and r_err < 0.02
+
+
+def test_icp_recovers_transform(scans):
+    target, source = scans
+    tc = PointCloud.from_array(target, capacity=8192)
+    sc = PointCloud.from_array(source, capacity=8192)
+    grid = build_hash_grid(tc.points, tc.mask, 2.0)
+
+    T_true = perturbation(seed=5, rot=0.03, trans=0.3)
+    src_moved = (T_true[:3, :3] @ sc.points.T).T + T_true[:3, 3]
+    src_moved = jnp.where(sc.mask[:, None], src_moved, sc.points)
+
+    res = icp.icp_align(grid, src_moved, sc.mask, jnp.eye(4), max_correspondence_distance=2.0,
+                        max_iterations=50)
+    t_err, r_err = pose_error(np.asarray(res.transform) @ T_true, np.eye(4))
+    assert bool(res.converged)
+    assert t_err < 0.05 and r_err < 0.01
+    # Good alignment -> small PCL-style fitness (gate is < 0.3 at `graph_based_slam.cpp:328`).
+    assert float(res.fitness) < 0.3
+
+
+def test_icp_fitness_rejects_garbage(scans):
+    # Aligning against an unrelated far-away target must yield a poor fitness, so the
+    # loop-closure gate rejects it.
+    target, source = scans
+    tc = PointCloud.from_array(target, capacity=8192)
+    far = source + np.array([200.0, 0.0, 0.0], dtype=np.float32)
+    sc = PointCloud.from_array(far, capacity=8192)
+    grid = build_hash_grid(tc.points, tc.mask, 2.0)
+    res = icp.icp_align(grid, sc.points, sc.mask, jnp.eye(4), max_correspondence_distance=2.0,
+                        max_iterations=10)
+    assert float(res.fitness) > 0.3
+
+
+def test_gicp_recovers_transform(scans):
+    target, source = scans
+    tc = PointCloud.from_array(target, capacity=8192)
+    sc = PointCloud.from_array(source, capacity=8192)
+    tgt = gicp.build_gicp_target(tc.points, tc.mask, 2.0, k=20)
+    src_covs, _ = gicp.estimate_covariances(sc.points, sc.mask, 2.0, k=20)
+
+    T_true = perturbation(seed=11, rot=0.04, trans=0.4)
+    src_moved = (T_true[:3, :3] @ sc.points.T).T + T_true[:3, 3]
+    src_moved = jnp.where(sc.mask[:, None], src_moved, sc.points)
+    # Source covariances rotate with the cloud: C' = R C R^T.
+    covs_moved = jnp.einsum("ij,njk,lk->nil", jnp.asarray(T_true[:3, :3]), src_covs,
+                            jnp.asarray(T_true[:3, :3]))
+
+    res = gicp.gicp_align(tgt, src_moved, sc.mask, jnp.eye(4), covs_moved,
+                          max_correspondence_distance=2.0, max_iterations=64)
+    t_err, r_err = pose_error(np.asarray(res.transform) @ T_true, np.eye(4))
+    assert bool(res.converged)
+    assert t_err < 0.05 and r_err < 0.01
+
+
+def test_registration_result_fields(scans):
+    target, source = scans
+    tc = PointCloud.from_array(target, capacity=8192)
+    sc = PointCloud.from_array(source, capacity=8192)
+    grid = build_hash_grid(tc.points, tc.mask, 2.0)
+    res = icp.icp_align(grid, sc.points, sc.mask, jnp.eye(4), max_iterations=5)
+    assert int(res.iterations) <= 5
+    assert int(res.num_inliers) > 1000
