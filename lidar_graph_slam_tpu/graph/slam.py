@@ -1,0 +1,241 @@
+"""Graph-based SLAM back end: keyframe graph, loop closure, global correction, map export.
+
+TPU-native re-design of the `graph_based_slam` node (`graph_based_slam/src/
+graph_based_slam.cpp`). Behavior reproduced:
+
+  * Keyframe insertion (`key_frame_callback` `:354-406`): prior factor on keyframe 0,
+    odometry between-factor per subsequent keyframe (noise sigma^2 = [1e-6 x3, 1e-8, 1e-8,
+    1e-6], `:67-69`), estimates tracked incrementally.
+  * Loop detection (`optimization_callback` `:238-352`, cadence = `rate` param 1 Hz
+    `:71-74`): candidate = nearest keyframe with accumulated-distance gap >=
+    `accumulate_distance_threshold` (100 m) and Euclidean distance <
+    `search_for_candidate_threshold` (15 m) (`:264-280`); candidate submap = keyframes
+    [min_id-20, min_id+20] voxel-filtered at 0.5 m (`:297-313`); ICP verification with
+    acceptance iff converged and fitness < `score_threshold` 0.3 (`:315-328`); loop factor
+    noise = fitness * I6 (`:335-341`).
+  * Global pose adjustment after loop closure (`adjust_pose` `:417-432`) and map assembly
+    (`publish_map` `:448-467`) / save-map service (`:469-501`).
+
+Deliberate fixes over the reference (SURVEY.md §7 "hard parts"): the insertion/loop-closure
+race behind two different mutexes (`:242` vs `:356`) disappears — one host thread drives
+pure device programs; the O(N*points) full-map republish per keyframe becomes an on-demand
+assembly. The ICP verifier gets a coarse NDT pre-alignment stage so large drift at loop
+time stays inside the grid-NN correspondence radius (the reference relies on a 30 m
+correspondence distance instead, `:142-151`).
+
+The dormant detectors of the reference (`detect_loop_with_accum_dist` `:157-187`,
+`detect_loop_with_kd_tree` `:189-236`) map onto `detect_loop(mode=...)`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidar_graph_slam_tpu.core import se3
+from lidar_graph_slam_tpu.core.config import CapacityConfig, GraphSlamConfig
+from lidar_graph_slam_tpu.core.pointcloud import PAD_VALUE, PointCloud
+from lidar_graph_slam_tpu.graph import solver
+from lidar_graph_slam_tpu.io.pcd import write_pcd
+from lidar_graph_slam_tpu.ops.neighbors import build_hash_grid
+from lidar_graph_slam_tpu.ops.voxel import build_ndt_map, voxel_downsample
+from lidar_graph_slam_tpu.registration import icp as icp_mod
+from lidar_graph_slam_tpu.registration import ndt as ndt_mod
+
+
+class GraphBasedSLAM:
+    """Host-side back end. Keyframe clouds are kept host-side (numpy) and shipped to the
+    device only for loop verification and map assembly — poses/factors stay on device."""
+
+    def __init__(self, cfg: GraphSlamConfig, capacity: CapacityConfig):
+        self.cfg = cfg
+        self.capacity = capacity
+        self.graph = solver.init_graph(
+            capacity.max_keyframes, capacity.max_loop_factors, cfg.odom_noise_var
+        )
+        self.kf_clouds: list[np.ndarray] = []       # [n_i, 3] sensor-frame clouds
+        self.kf_accum_dist: list[float] = []
+        self.kf_front_poses: list[np.ndarray] = []  # front-end (odometry) poses
+        self.loop_log: list[dict] = []
+        self.n_keyframes = 0
+        self._frames_since_loop_check = 0
+        self.is_loop_closed = False
+
+    # -- keyframe insertion (§3.3) ------------------------------------------------------
+
+    def add_keyframe(self, kf: dict) -> None:
+        """Insert a front-end keyframe record ({pose, cloud, cloud_mask, accum_distance})."""
+        pose = np.asarray(kf["pose"], dtype=np.float32)
+        if self.n_keyframes == 0:
+            odom = np.eye(4, dtype=np.float32)
+        else:
+            prev = self.kf_front_poses[-1]
+            odom = (np.linalg.inv(prev) @ pose).astype(np.float32)
+            # Chain the measurement onto the *optimized* previous pose for the estimate:
+            # matches iSAM2's behavior of initializing new keys from composed odometry
+            # (`graph_based_slam.cpp:365-371`).
+            prev_opt = np.asarray(self.graph.poses[self.n_keyframes - 1])
+            pose = (prev_opt @ odom).astype(np.float32)
+        self.graph = solver.graph_add_keyframe(
+            self.graph, jnp.asarray(pose), jnp.asarray(odom)
+        )
+        cloud = np.asarray(kf["cloud"])[np.asarray(kf["cloud_mask"])]
+        self.kf_clouds.append(cloud.astype(np.float32))
+        self.kf_accum_dist.append(float(kf["accum_distance"]))
+        self.kf_front_poses.append(np.asarray(kf["pose"], dtype=np.float32))
+        self.n_keyframes += 1
+
+    # -- loop detection (§3.4 gates) ----------------------------------------------------
+
+    def detect_loop(self, mode: str = "inline") -> Optional[int]:
+        """Find a loop candidate for the latest keyframe, or None.
+
+        mode="inline": the active detector (`optimization_callback` `:264-280`) —
+          accumulated-distance gap AND Euclidean gate, keep the nearest.
+        mode="radius": the dormant kd-tree variant (`detect_loop_with_kd_tree` `:189-236`)
+          — radius search with the same accum-dist gate.
+        """
+        if self.n_keyframes < 2:
+            return None
+        latest = self.n_keyframes - 1
+        positions = np.asarray(self.graph.poses[: self.n_keyframes, :3, 3])
+        cur_pos = positions[latest]
+        cur_accum = self.kf_accum_dist[latest]
+        accum = np.asarray(self.kf_accum_dist[: self.n_keyframes])
+        d = np.linalg.norm(positions - cur_pos[None, :], axis=1)
+
+        gate = (cur_accum - accum) >= self.cfg.accumulate_distance_threshold
+        if mode == "inline":
+            gate &= d < self.cfg.search_for_candidate_threshold
+        elif mode == "radius":
+            gate &= d < getattr(self.cfg, "search_radius", self.cfg.search_for_candidate_threshold)
+        else:
+            raise ValueError(f"unknown loop detection mode {mode!r}")
+        if not gate.any():
+            return None
+        return int(np.argmin(np.where(gate, d, np.inf)))
+
+    # -- loop verification + factor insertion (§3.4) ------------------------------------
+
+    def _assemble_submap(self, center: int, half_window: int) -> np.ndarray:
+        """Map-frame concat of keyframes [center-w, center+w] under current estimates
+        (`graph_based_slam.cpp:297-309`)."""
+        lo = max(0, center - half_window)
+        hi = min(self.n_keyframes, center + half_window + 1)
+        poses = np.asarray(self.graph.poses[lo:hi])
+        chunks = []
+        for k, T in zip(range(lo, hi), poses):
+            pts = self.kf_clouds[k]
+            chunks.append(pts @ T[:3, :3].T + T[:3, 3])
+        return np.concatenate(chunks).astype(np.float32)
+
+    def try_close_loop(self) -> bool:
+        """One loop-closure attempt for the latest keyframe. Returns True if a factor was
+        added (and the graph re-optimized)."""
+        cand = self.detect_loop()
+        if cand is None:
+            return False
+        latest = self.n_keyframes - 1
+
+        submap = self._assemble_submap(cand, self.cfg.search_key_frame_num)
+        sub_cloud = PointCloud.from_array(submap, capacity=self.capacity.loop_submap_points)
+        filtered = voxel_downsample(
+            sub_cloud.points, sub_cloud.mask, jnp.float32(self.cfg.loop_submap_leaf),
+            capacity=self.capacity.loop_submap_points,
+        )
+
+        # Latest keyframe cloud in the map frame under the current estimate (`:246-252`).
+        T_latest = np.asarray(self.graph.poses[latest])
+        src = self.kf_clouds[latest] @ T_latest[:3, :3].T + T_latest[:3, 3]
+        src_cloud = PointCloud.from_array(src, capacity=self.capacity.keyframe_points)
+
+        # Stage 1: coarse NDT pre-align (identity guess, as the reference's ICP `:318`).
+        ndt_map = build_ndt_map(
+            filtered.points, filtered.mask, jnp.float32(4.0),
+            capacity=self.capacity.voxel_capacity // 4,
+        )
+        pre = ndt_mod.ndt_align(
+            ndt_map, src_cloud.points, src_cloud.mask, jnp.eye(4),
+            step_size=0.4, max_iterations=16,
+        )
+        # Stage 2: ICP refine + fitness (the decision quantity, `:320-328`).
+        grid = build_hash_grid(filtered.points, filtered.mask, 2.0)
+        res = icp_mod.icp_align(
+            grid, src_cloud.points, src_cloud.mask, pre.transform,
+            max_correspondence_distance=2.0,
+            max_iterations=self.cfg.icp.max_iterations,
+            transform_epsilon=max(self.cfg.icp.transform_epsilon, 1e-7),
+        )
+        fitness = float(res.fitness)
+        converged = bool(res.converged)
+        record = {
+            "latest": latest,
+            "candidate": cand,
+            "fitness": fitness,
+            "converged": converged,
+            "accepted": False,
+        }
+        self.loop_log.append(record)
+        if not converged or fitness >= self.cfg.score_threshold:
+            return False
+
+        # Loop factor: corrected latest pose vs candidate pose (`:330-341`).
+        # icp transform maps current-map-frame latest cloud onto the candidate submap,
+        # so the corrected latest pose is icp_T @ T_latest.
+        T_corrected = np.asarray(res.transform) @ T_latest
+        T_cand = np.asarray(self.graph.poses[cand])
+        Z = jnp.asarray(np.linalg.inv(T_corrected) @ T_cand)  # between(latest, cand)
+        info = jnp.full((6,), 1.0 / max(fitness, 1e-6), dtype=jnp.float32)
+        self.graph = solver.graph_add_loop(
+            self.graph, jnp.asarray(latest), jnp.asarray(cand), Z, info
+        )
+        self.graph = solver.optimize(self.graph, max_iterations=15)
+        self.is_loop_closed = True
+        record["accepted"] = True
+        return True
+
+    def on_frame(self) -> bool:
+        """Per-frame cadence hook: runs a loop check every `loop_search_period_frames`
+        (our deterministic analog of the reference's 1 Hz wall timer `:71-74`)."""
+        self._frames_since_loop_check += 1
+        if self._frames_since_loop_check >= self.cfg.loop_search_period_frames:
+            self._frames_since_loop_check = 0
+            return self.try_close_loop()
+        return False
+
+    # -- outputs (§3.3 publish paths + §3.5 save map) -----------------------------------
+
+    def optimized_poses(self) -> np.ndarray:
+        return np.asarray(self.graph.poses[: self.n_keyframes])
+
+    def assemble_map(self, resolution: float = 0.0, max_points: Optional[int] = None) -> np.ndarray:
+        """All keyframe clouds under optimized poses; optional voxel filter at `resolution`
+        (`save_map_service` `:473-494`)."""
+        if self.n_keyframes == 0:
+            return np.zeros((0, 3), dtype=np.float32)
+        poses = self.optimized_poses()
+        chunks = [
+            self.kf_clouds[k] @ poses[k][:3, :3].T + poses[k][:3, 3]
+            for k in range(self.n_keyframes)
+        ]
+        pts = np.concatenate(chunks).astype(np.float32)
+        if resolution > 0.0:
+            cap = max_points or pts.shape[0]
+            cloud = PointCloud.from_array(pts, capacity=pts.shape[0])
+            grid = voxel_downsample(
+                cloud.points, cloud.mask, jnp.float32(resolution), capacity=cap
+            )
+            pts = np.asarray(grid.points)[np.asarray(grid.mask)]
+        return pts
+
+    def save_map(self, path: str, resolution: float = 0.0) -> bool:
+        """The `/save_map` service (`:469-501`): resolution <= 0 exports the raw map."""
+        try:
+            pts = self.assemble_map(resolution)
+            write_pcd(path, pts)
+            return True
+        except OSError:
+            return False

@@ -1,0 +1,311 @@
+"""SE(3) pose-graph optimizer — first-party replacement for GTSAM's iSAM2 back end.
+
+The reference hands its graph to `gtsam::ISAM2` (prior + odometry between-factors added per
+keyframe at `graph_based_slam/src/graph_based_slam.cpp:361-374`, loop between-factors at
+`:330-347`, estimates read back via `calculateEstimate` at `:379,419`). We match its
+*behavioral* contract — incremental insertion is cheap, loop closures trigger a global
+re-linearized solve, estimates equal the nonlinear least-squares optimum — with an algorithm
+chosen for TPU structure instead of the Bayes tree:
+
+  * A pose graph from this pipeline is a **chain + L loop factors** (L small). The
+    Gauss-Newton normal matrix is block-tridiagonal plus L rank-6 corrections.
+  * The chain part is factorized with a **block-tridiagonal Cholesky** expressed as
+    `lax.scan` over 6x6 blocks — O(K) with tiny dense ops, no sparse bookkeeping.
+  * Loop factors enter via the **Woodbury identity**: 6L extra right-hand sides through the
+    same tridiagonal solve plus one small (6L x 6L) dense solve. Exact, no fill-in, and the
+    expensive part is batched matmuls — exactly what the MXU wants.
+  * Levenberg-Marquardt outer loop with masked accept/reject runs entirely inside one jitted
+    program: fixed iteration count, no data-dependent Python control flow.
+
+All factors use the twist ordering (omega, v), so the reference's noise vector
+sigma^2 = [1e-6 x3, 1e-8, 1e-8, 1e-6] (`graph_based_slam.cpp:67-69`) maps verbatim.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from lidar_graph_slam_tpu.core import se3
+
+
+@struct.dataclass
+class PoseGraph:
+    """Fixed-capacity factor-graph state (SoA over keyframes and loop factors)."""
+
+    poses: jax.Array          # [K, 4, 4] current estimates
+    pose_mask: jax.Array      # [K] bool — active keyframes
+    odom_meas: jax.Array      # [K, 4, 4] Z_k = between(T_{k-1}, T_k); row 0 unused
+    prior_pose: jax.Array     # [4, 4] anchor for pose 0
+    odom_info: jax.Array      # [6] diagonal information (1/sigma^2) for prior+odometry
+    loop_i: jax.Array         # [L] int32 source keyframe ids
+    loop_j: jax.Array         # [L] int32 target keyframe ids
+    loop_meas: jax.Array      # [L, 4, 4] Z_l = between(T_i, T_j) measured by ICP
+    loop_info: jax.Array      # [L, 6] diagonal information per loop factor
+    loop_mask: jax.Array      # [L] bool
+    num_poses: jax.Array      # scalar int32
+    num_loops: jax.Array      # scalar int32
+
+
+def init_graph(max_keyframes: int, max_loops: int, odom_noise_var) -> PoseGraph:
+    def eyes(n):  # distinct buffers — donation forbids aliased arguments
+        return jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (n, 1, 1))
+
+    return PoseGraph(
+        poses=eyes(max_keyframes),
+        pose_mask=jnp.zeros((max_keyframes,), bool),
+        odom_meas=eyes(max_keyframes),
+        prior_pose=jnp.eye(4, dtype=jnp.float32),
+        odom_info=1.0 / jnp.asarray(odom_noise_var, jnp.float32),
+        loop_i=jnp.zeros((max_loops,), jnp.int32),
+        loop_j=jnp.zeros((max_loops,), jnp.int32),
+        loop_meas=eyes(max_loops),
+        loop_info=jnp.ones((max_loops, 6), jnp.float32),
+        loop_mask=jnp.zeros((max_loops,), bool),
+        num_poses=jnp.asarray(0, jnp.int32),
+        num_loops=jnp.asarray(0, jnp.int32),
+    )
+
+
+@partial(jax.jit, donate_argnames=("g",))
+def graph_add_keyframe(g: PoseGraph, pose: jax.Array, odom_meas: jax.Array) -> PoseGraph:
+    """Append a keyframe with its odometry between-measurement (reference semantics:
+    `key_frame_callback`, `graph_based_slam.cpp:354-377`)."""
+    k = g.num_poses
+    return g.replace(
+        poses=g.poses.at[k].set(pose),
+        pose_mask=g.pose_mask.at[k].set(True),
+        odom_meas=g.odom_meas.at[k].set(odom_meas),
+        prior_pose=jnp.where(k == 0, pose, g.prior_pose),
+        num_poses=k + 1,
+    )
+
+
+@partial(jax.jit, donate_argnames=("g",))
+def graph_add_loop(g: PoseGraph, i: jax.Array, j: jax.Array, meas: jax.Array, info_diag: jax.Array) -> PoseGraph:
+    """Append a loop between-factor (noise = fitness * I6 in the reference,
+    `graph_based_slam.cpp:335-341` — callers pass info_diag = 1/fitness * ones)."""
+    l = g.num_loops
+    return g.replace(
+        loop_i=g.loop_i.at[l].set(i),
+        loop_j=g.loop_j.at[l].set(j),
+        loop_meas=g.loop_meas.at[l].set(meas),
+        loop_info=g.loop_info.at[l].set(info_diag),
+        loop_mask=g.loop_mask.at[l].set(True),
+        num_loops=l + 1,
+    )
+
+
+# --- residuals / linearization ----------------------------------------------------------
+
+
+def _ad_se3(xi: jax.Array) -> jax.Array:
+    """se(3) adjoint (ad) of a twist, (omega, v) ordering: [[W,0],[V,W]]."""
+    W = se3.hat(xi[..., :3])
+    V = se3.hat(xi[..., 3:])
+    Z = jnp.zeros_like(W)
+    top = jnp.concatenate([W, Z], axis=-1)
+    bot = jnp.concatenate([V, W], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _jr_inv(r: jax.Array) -> jax.Array:
+    """Inverse right Jacobian of the SE(3) log, 2nd-order series: I + ad/2 + ad^2/12."""
+    ad = _ad_se3(r)
+    eye = jnp.broadcast_to(jnp.eye(6, dtype=r.dtype), ad.shape)
+    return eye + 0.5 * ad + (1.0 / 12.0) * (ad @ ad)
+
+
+def between_residual(Ti: jax.Array, Tj: jax.Array, Z: jax.Array):
+    """Residual r = log(Z^{-1} T_i^{-1} T_j) and Jacobians (J_i, J_j) for right
+    perturbations T <- T exp(xi)."""
+    E = se3.inverse(Z) @ se3.inverse(Ti) @ Tj
+    r = se3.se3_log(E)
+    Jr = _jr_inv(r)
+    Jj = Jr
+    Ji = -Jr @ se3.adjoint(se3.inverse(Tj) @ Ti)
+    return r, Ji, Jj
+
+
+def graph_cost(g: PoseGraph, poses: jax.Array) -> jax.Array:
+    """Total weighted squared residual under candidate poses."""
+    K = poses.shape[0]
+    # Prior on pose 0.
+    r0 = se3.se3_log(se3.inverse(g.prior_pose) @ poses[0])
+    cost = jnp.sum(r0 * g.odom_info * r0)
+    # Odometry chain factors k-1 -> k for k in [1, K).
+    Ti = poses[:-1]
+    Tj = poses[1:]
+    E = se3.inverse(g.odom_meas[1:]) @ se3.inverse(Ti) @ Tj
+    r = se3.se3_log(E)
+    m = (g.pose_mask[1:] & g.pose_mask[:-1]).astype(poses.dtype)
+    cost = cost + jnp.sum(m[:, None] * r * g.odom_info[None, :] * r)
+    # Loop factors.
+    rl = se3.se3_log(se3.inverse(g.loop_meas) @ se3.inverse(poses[g.loop_i]) @ poses[g.loop_j])
+    ml = g.loop_mask.astype(poses.dtype)
+    cost = cost + jnp.sum(ml[:, None] * rl * g.loop_info * rl)
+    return cost
+
+
+# --- block-tridiagonal solve ------------------------------------------------------------
+
+
+def _tridiag_solve(D: jax.Array, U: jax.Array, B: jax.Array) -> jax.Array:
+    """Solve the block-tridiagonal system H x = B.
+
+    D: [K, 6, 6] diagonal blocks; U: [K-1, 6, 6] super-diagonal blocks (H[k, k+1]);
+    B: [K, 6, M] right-hand sides. Returns x [K, 6, M].
+
+    Forward block elimination then back substitution, each a `lax.scan` of 6x6 ops.
+    """
+    # Pad U with a leading zero block so step k consumes U_{k-1}.
+    K = D.shape[0]
+    U_pad = jnp.concatenate([jnp.zeros((1, 6, 6), D.dtype), U], axis=0)
+
+    def fwd_step(carry, inp):
+        S_prev, y_prev = carry  # S_{k-1} (6,6), y_{k-1} tilde (6,M)
+        Dk, Uk_prev, Bk = inp
+        # G = S_{k-1}^{-1} U_{k-1}
+        G = jnp.linalg.solve(S_prev, Uk_prev)
+        S = Dk - jnp.swapaxes(Uk_prev, 0, 1) @ G
+        y = Bk - jnp.swapaxes(Uk_prev, 0, 1) @ jnp.linalg.solve(S_prev, y_prev)
+        return (S, y), (S, y, G)
+
+    M = B.shape[-1]
+    init = (jnp.eye(6, dtype=D.dtype), jnp.zeros((6, M), D.dtype))
+    _, (S_all, y_all, G_all) = jax.lax.scan(fwd_step, init, (D, U_pad, B))
+
+    # Back substitution: x_K-1 = S^{-1} y; x_k = S_k^{-1} y_k - G_{k+1} x_{k+1}.
+    def bwd_step(x_next, inp):
+        Sk, yk, G_next = inp
+        xk = jnp.linalg.solve(Sk, yk) - G_next @ x_next
+        return xk, xk
+
+    # G_all[k] = S_{k-1}^{-1} U_{k-1}; for back-sub at k we need G_{k+1} = S_k^{-1} U_k.
+    G_shift = jnp.concatenate([G_all[1:], jnp.zeros((1, 6, 6), D.dtype)], axis=0)
+    _, xs = jax.lax.scan(bwd_step, jnp.zeros((6, M), D.dtype), (S_all, y_all, G_shift), reverse=True)
+    return xs
+
+
+def _assemble_chain(g: PoseGraph, poses: jax.Array, damping: jax.Array):
+    """Build block-tridiagonal (D, U) and gradient rhs b from prior + odometry factors."""
+    K = poses.shape[0]
+    dtype = poses.dtype
+    info = g.odom_info.astype(dtype)
+
+    # Chain factors: k-1 -> k (vectorized over K-1 factors).
+    r, Ji, Jj = between_residual(poses[:-1], poses[1:], g.odom_meas[1:])
+    m = (g.pose_mask[1:] & g.pose_mask[:-1]).astype(dtype)[:, None, None]
+    JiW = jnp.swapaxes(Ji, -1, -2) * info[None, None, :]   # J_i^T Lambda
+    JjW = jnp.swapaxes(Jj, -1, -2) * info[None, None, :]
+    A = m * (JiW @ Ji)        # contribution to D[k-1]
+    Coff = m * (JiW @ Jj)     # contribution to U[k-1] (block (k-1, k))
+    Cdiag = m * (JjW @ Jj)    # contribution to D[k]
+    bi = -(m[..., 0] * (JiW @ r[..., None])[..., 0])  # gradient rows
+    bj = -(m[..., 0] * (JjW @ r[..., None])[..., 0])
+
+    D = jnp.zeros((K, 6, 6), dtype)
+    D = D.at[:-1].add(A).at[1:].add(Cdiag)
+    b = jnp.zeros((K, 6), dtype)
+    b = b.at[:-1].add(bi).at[1:].add(bj)
+    U = Coff
+
+    # Prior factor on pose 0: r = log(prior^{-1} T_0), J = Jr_inv(r).
+    r0 = se3.se3_log(se3.inverse(g.prior_pose) @ poses[0])
+    J0 = _jr_inv(r0)
+    J0W = jnp.swapaxes(J0, -1, -2) * info[None, :]
+    D = D.at[0].add(J0W @ J0)
+    b = b.at[0].add(-(J0W @ r0[:, None])[:, 0])
+
+    # Inactive poses: identity diagonal so the solve stays well-posed, zero rhs.
+    active = g.pose_mask.astype(dtype)
+    eye6 = jnp.eye(6, dtype=dtype)
+    D = active[:, None, None] * D + (1.0 - active)[:, None, None] * eye6
+    b = active[:, None] * b
+    # LM damping on active diagonals.
+    D = D + damping * active[:, None, None] * eye6
+    return D, U, b
+
+
+def _loop_terms(g: PoseGraph, poses: jax.Array):
+    """Loop-factor residual/Jacobian bundle: (r [L,6], Ji, Jj [L,6,6], info [L,6], m [L])."""
+    Ti = poses[g.loop_i]
+    Tj = poses[g.loop_j]
+    r, Ji, Jj = between_residual(Ti, Tj, g.loop_meas)
+    return r, Ji, Jj
+
+
+def _solve_step(g: PoseGraph, poses: jax.Array, damping: jax.Array) -> jax.Array:
+    """One damped GN step: returns delta twists [K, 6] (right perturbation)."""
+    K = poses.shape[0]
+    L = g.loop_i.shape[0]
+    dtype = poses.dtype
+    D, U, b_chain = _assemble_chain(g, poses, damping)
+
+    r, Ji, Jj = _loop_terms(g, poses)
+    ml = g.loop_mask.astype(dtype)[:, None]
+    info_l = g.loop_info.astype(dtype) * ml                      # [L, 6] masked info
+    JiW = jnp.swapaxes(Ji, -1, -2) * info_l[:, None, :]
+    JjW = jnp.swapaxes(Jj, -1, -2) * info_l[:, None, :]
+    b_loop_i = -(JiW @ r[..., None])[..., 0]                     # [L, 6]
+    b_loop_j = -(JjW @ r[..., None])[..., 0]
+    b = b_chain.at[g.loop_i].add(b_loop_i).at[g.loop_j].add(b_loop_j)
+
+    # Woodbury: H = T + V Lambda V^T with V = rows(i: Ji, j: Jj) per loop factor.
+    # Build the [K, 6, 6L] dense RHS holding V (scattered), solve T^{-1} [b | V].
+    V = jnp.zeros((K, 6, L, 6), dtype)
+    V = V.at[g.loop_i].add(
+        jnp.swapaxes(Ji, -1, -2)[:, :, None, :] * jnp.eye(L, dtype=dtype).T[:, None, :, None]
+    )
+    # The scatter above: for each l, place Ji_l^T (6x6) at pose loop_i[l], lane l.
+    V = V.at[g.loop_j].add(
+        jnp.swapaxes(Jj, -1, -2)[:, :, None, :] * jnp.eye(L, dtype=dtype).T[:, None, :, None]
+    )
+    V = V.reshape(K, 6, L * 6)
+
+    rhs = jnp.concatenate([b[..., None], V], axis=-1)            # [K, 6, 1+6L]
+    sol = _tridiag_solve(D, U, rhs)                              # [K, 6, 1+6L]
+    Tinv_b = sol[..., 0]                                         # [K, 6]
+    Tinv_V = sol[..., 1:]                                        # [K, 6, 6L]
+
+    # Small system: (Lambda^{-1} + V^T T^{-1} V) z = V^T T^{-1} b.
+    VtTinvV = jnp.einsum("kim,kin->mn", V, Tinv_V)               # [6L, 6L]
+    VtTinvb = jnp.einsum("kim,ki->m", V, Tinv_b)                 # [6L]
+    # Lambda^{-1}: diagonal per loop factor; masked-out loops get huge Lambda^{-1}
+    # (=> zero correction), keeping the small solve well-posed.
+    lam_inv = jnp.where(ml > 0, 1.0 / jnp.maximum(g.loop_info.astype(dtype), 1e-12), 1e12)
+    small = jnp.diag(lam_inv.reshape(-1)) + VtTinvV
+    z = jnp.linalg.solve(small, VtTinvb)                         # [6L]
+    correction = jnp.einsum("kim,m->ki", Tinv_V, z)              # [K, 6]
+    delta = Tinv_b - correction
+    return delta
+
+
+@partial(jax.jit, static_argnames=("max_iterations",))
+def optimize(g: PoseGraph, max_iterations: int = 10, init_damping: float = 1e-4) -> PoseGraph:
+    """Levenberg-Marquardt over the full graph; returns the graph with updated poses.
+
+    Warm-started from current estimates — the incremental behavior that stands in for
+    iSAM2's Bayes-tree updates (SURVEY.md §7 layer 5).
+    """
+
+    def body(_, carry):
+        poses, damping = carry
+        cost0 = graph_cost(g, poses)
+        delta = _solve_step(g, poses, damping)
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        cand = poses @ se3.se3_exp(delta)
+        cand_cost = graph_cost(g, cand)
+        accept = cand_cost < cost0
+        poses = jnp.where(accept, cand, poses)
+        damping = jnp.where(accept, damping * 0.3, damping * 8.0)
+        damping = jnp.clip(damping, 1e-9, 1e6)
+        return poses, damping
+
+    poses, _ = jax.lax.fori_loop(
+        0, max_iterations, body, (g.poses, jnp.asarray(init_damping, g.poses.dtype))
+    )
+    return g.replace(poses=poses)

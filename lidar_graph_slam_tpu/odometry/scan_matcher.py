@@ -135,7 +135,7 @@ class ScanMatcher:
                 "accum_distance": self.accum_distance,
                 "cloud": np.asarray(cloud.points),
                 "cloud_mask": np.asarray(cloud.mask),
-                "frame_index": self.n_frames,
+                "frame_index": self.n_frames - 1,  # n_frames is incremented before keyframing
             }
         )
         self.n_keyframes += 1

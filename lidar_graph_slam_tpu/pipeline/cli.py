@@ -1,0 +1,89 @@
+"""Command-line entry point: `python -m lidar_graph_slam_tpu.pipeline.cli`.
+
+Replaces `ros2 launch lidar_graph_slam lidar_graph_slam.launch.xml` + the `/save_map`
+service call (`README.md:22-28` of the reference) with one command producing trajectory
+files (TUM + KITTI), the map PCD, and a metrics JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tpu-slam", description="TPU-native LiDAR graph SLAM")
+    ap.add_argument("--dataset", choices=["synthetic", "kitti"], default="synthetic")
+    ap.add_argument("--kitti-root", default=os.environ.get("KITTI_ROOT", "/data/kitti"))
+    ap.add_argument("--sequence", default="00")
+    ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--config", default=None, help="YAML config file")
+    ap.add_argument("--set", action="append", default=[], metavar="a.b.c=v",
+                    help="config overrides, e.g. --set scan_matcher.registration_method=GICP")
+    ap.add_argument("--output", default="out", help="output directory")
+    ap.add_argument("--map-resolution", type=float, default=0.5)
+    ap.add_argument("--no-loop-closure", action="store_true")
+    ap.add_argument("--progress-every", type=int, default=20)
+    args = ap.parse_args(argv)
+
+    from lidar_graph_slam_tpu.core.config import apply_cli_overrides, load_config
+    from lidar_graph_slam_tpu.io.pcd import write_kitti_trajectory, write_tum_trajectory
+    from lidar_graph_slam_tpu.pipeline.runner import SlamPipeline
+    from lidar_graph_slam_tpu.utils.evaluation import ate_rmse, rpe
+
+    cfg = load_config(args.config)
+    if args.no_loop_closure:
+        cfg = apply_cli_overrides(cfg, ["enable_loop_closure=False"])
+    if args.set:
+        cfg = apply_cli_overrides(cfg, args.set)
+
+    gt_list = []
+    if args.dataset == "synthetic":
+        from lidar_graph_slam_tpu.io.synthetic import SyntheticSequence
+
+        seq = SyntheticSequence(n_frames=args.frames, seed=0)
+        gt_all = seq.poses
+    else:
+        from lidar_graph_slam_tpu.io.kitti import KittiSequence
+
+        seq = KittiSequence(args.kitti_root, args.sequence, max_frames=args.frames,
+                            max_points=cfg.capacity.raw_points)
+        gt_all = seq.gt_poses
+
+    pipe = SlamPipeline(cfg)
+    result = pipe.run(seq, progress_every=args.progress_every)
+
+    os.makedirs(args.output, exist_ok=True)
+    write_tum_trajectory(os.path.join(args.output, "odometry_tum.txt"), result.odometry_poses)
+    write_kitti_trajectory(os.path.join(args.output, "odometry_kitti.txt"), result.odometry_poses)
+    write_tum_trajectory(os.path.join(args.output, "keyframes_tum.txt"), result.keyframe_poses)
+    pipe.save_map(os.path.join(args.output, "map.pcd"), args.map_resolution)
+
+    summary = {
+        "frames": int(result.odometry_poses.shape[0]),
+        "keyframes": int(result.keyframe_poses.shape[0]),
+        "loop_closures": result.num_loop_closures,
+        "stage_timings": result.metrics,
+    }
+    if gt_all is not None:
+        n = result.odometry_poses.shape[0]
+        T0_inv = np.linalg.inv(gt_all[0])
+        gt = np.stack([(T0_inv @ p).astype(np.float32) for p in gt_all[:n]])
+        summary["ate_odometry_m"] = ate_rmse(result.odometry_poses, gt, align=False)
+        kf_gt = gt[result.keyframe_frame_indices]
+        summary["ate_keyframes_m"] = ate_rmse(result.keyframe_poses, kf_gt, align=False)
+        t_rpe, r_rpe = rpe(result.odometry_poses, gt)
+        summary["rpe_trans_m"] = t_rpe
+        summary["rpe_rot_rad"] = r_rpe
+    with open(os.path.join(args.output, "metrics.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
