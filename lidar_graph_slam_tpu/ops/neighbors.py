@@ -28,9 +28,12 @@ from flax import struct
 from lidar_graph_slam_tpu.core.pointcloud import PAD_VALUE, pad_points
 from lidar_graph_slam_tpu.ops.voxel import (
     INVALID_KEY,
+    TABLE_DIMS,
     _NX,
     _NY,
     _NZ,
+    _flat_table_index,
+    build_dense_table,
     min_corner,
     pack_key,
     voxel_coords,
@@ -57,6 +60,7 @@ class HashGrid:
     origin: jax.Array     # [3]
     cell_size: jax.Array  # scalar
     num: jax.Array        # scalar int32 valid count
+    table: jax.Array      # [prod(TABLE_DIMS)] int32 dense cell -> first sorted row (-1)
 
 
 @jax.jit
@@ -83,6 +87,7 @@ def build_hash_grid(points: jax.Array, mask: jax.Array, cell_size) -> HashGrid:
         origin=origin,
         cell_size=cell_size,
         num=jnp.sum(mask.astype(jnp.int32)),
+        table=build_dense_table(keys_sorted, first & valid, TABLE_DIMS),
     )
 
 
@@ -94,17 +99,17 @@ def _candidate_block(grid: HashGrid, queries: jax.Array, offsets: jax.Array, buc
     n = grid.keys.shape[0]
     coords = voxel_coords(queries, grid.origin, 1.0 / grid.cell_size)       # [Q, 3]
     ncoords = coords[:, None, :] + offsets[None, :, :]                       # [Q, C, 3]
-    in_range = jnp.all(
-        (ncoords >= 0) & (ncoords < jnp.array([_NX, _NY, _NZ], dtype=jnp.int32)), axis=-1
-    )
     cell_keys = pack_key(
         jnp.clip(ncoords, 0, jnp.array([_NX - 1, _NY - 1, _NZ - 1], dtype=jnp.int32))
     )                                                                        # [Q, C]
-    start = jnp.searchsorted(grid.keys, cell_keys).astype(jnp.int32)         # [Q, C]
+    flat, in_range = _flat_table_index(ncoords, TABLE_DIMS)
+    start = jnp.concatenate([grid.table, jnp.full((1,), -1, jnp.int32)])[flat]  # [Q, C]
+    cell_hit = (start >= 0) & in_range
+    start = jnp.maximum(start, 0)
     cand = start[..., None] + jnp.arange(bucket_cap, dtype=jnp.int32)        # [Q, C, B]
     cand = jnp.minimum(cand, n - 1)
     same_cell = grid.keys[cand] == cell_keys[..., None]
-    valid = same_cell & in_range[..., None]
+    valid = same_cell & cell_hit[..., None]
     q = queries.shape[0]
     return cand.reshape(q, -1), valid.reshape(q, -1)
 

@@ -31,6 +31,50 @@ _BITS_X, _BITS_Y, _BITS_Z = 11, 11, 8
 _NX, _NY, _NZ = 1 << _BITS_X, 1 << _BITS_Y, 1 << _BITS_Z
 INVALID_KEY = jnp.iinfo(jnp.int32).max
 
+# Dense lookup-table dims (cells): direct 3-D indexing replaces binary search on the hot
+# path. (256, 256, 64) cells cover 512 m x 512 m x 128 m at NDT resolution 2.0 and cost
+# 16 MB of int32 HBM — a bargain against per-query log(V) gather chains on TPU.
+TABLE_DIMS = (256, 256, 64)
+
+
+def unpack_key(key: jax.Array):
+    """Inverse of pack_key: int32 key -> (cx, cy, cz)."""
+    cx = key >> (_BITS_Y + _BITS_Z)
+    cy = (key >> _BITS_Z) & (_NY - 1)
+    cz = key & (_NZ - 1)
+    return cx, cy, cz
+
+
+def _flat_table_index(coords: jax.Array, dims) -> tuple[jax.Array, jax.Array]:
+    """Coords [..., 3] -> (flat index into the dense table, in-range mask)."""
+    dx, dy, dz = dims
+    in_range = (
+        (coords[..., 0] >= 0) & (coords[..., 0] < dx)
+        & (coords[..., 1] >= 0) & (coords[..., 1] < dy)
+        & (coords[..., 2] >= 0) & (coords[..., 2] < dz)
+    )
+    flat = (coords[..., 0] * dy + coords[..., 1]) * dz + coords[..., 2]
+    return jnp.where(in_range, flat, dx * dy * dz), in_range
+
+
+def build_dense_table(keys: jax.Array, row_valid: jax.Array, dims) -> jax.Array:
+    """Scatter sorted-row indices into a dense [prod(dims)] int32 table (-1 = empty).
+
+    `keys` are packed voxel keys per row; rows with row_valid=False (or out of table
+    range) are dropped. When several rows share a key (hash-grid cells), the FIRST row
+    wins via min-scatter — callers pass only first-of-cell rows or per-voxel rows.
+    """
+    dx, dy, dz = dims
+    size = dx * dy * dz
+    coords = jnp.stack(unpack_key(keys), axis=-1)
+    flat, in_range = _flat_table_index(coords, dims)
+    flat = jnp.where(row_valid & in_range, flat, size)  # park dropped rows in overflow slot
+    n = keys.shape[0]
+    table = jnp.full((size + 1,), jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+    table = table.at[flat].min(jnp.arange(n, dtype=jnp.int32))
+    table = jnp.where(table == jnp.iinfo(jnp.int32).max, -1, table)
+    return table[:size]
+
 
 def voxel_coords(points: jax.Array, origin: jax.Array, inv_leaf) -> jax.Array:
     """Integer voxel coords [N, 3] relative to `origin`, clamped into the packable range."""
@@ -119,6 +163,7 @@ class NdtVoxelMap:
     origin: jax.Array      # [3] min corner used for packing
     leaf: jax.Array        # scalar voxel resolution
     num_voxels: jax.Array  # scalar int32
+    table: jax.Array       # [prod(TABLE_DIMS)] int32 dense cell -> voxel row (-1 empty)
 
 
 def _eigh3x3(A: jax.Array):
@@ -201,6 +246,7 @@ def build_ndt_map(
         origin=origin,
         leaf=jnp.asarray(resolution, dtype=points.dtype),
         num_voxels=num_voxels,
+        table=build_dense_table(keys_out, valid, TABLE_DIMS),
     )
 
 
@@ -215,15 +261,13 @@ DIRECT7_OFFSETS = jnp.array(
 def lookup_direct7(vmap: NdtVoxelMap, query_points: jax.Array):
     """For each query point, gather the DIRECT7 neighbor voxels' Gaussians.
 
-    Returns (means [Q, 7, 3], inv_covs [Q, 7, 3, 3], found [Q, 7]).
+    Returns (means [Q, 7, 3], inv_covs [Q, 7, 3, 3], found [Q, 7]). One dense-table gather
+    per (query, neighbor) — no binary search on the registration hot loop.
     """
     coords = voxel_coords(query_points, vmap.origin, 1.0 / vmap.leaf)  # [Q, 3]
     ncoords = coords[:, None, :] + DIRECT7_OFFSETS[None, :, :]         # [Q, 7, 3]
-    in_range = jnp.all(
-        (ncoords >= 0) & (ncoords < jnp.array([_NX, _NY, _NZ], dtype=jnp.int32)), axis=-1
-    )
-    keys = pack_key(jnp.clip(ncoords, 0, jnp.array([_NX - 1, _NY - 1, _NZ - 1], dtype=jnp.int32)))
-    idx = jnp.searchsorted(vmap.keys, keys)            # [Q, 7]
-    idx = jnp.clip(idx, 0, vmap.keys.shape[0] - 1)
-    hit = (vmap.keys[idx] == keys) & in_range & vmap.valid[idx]
+    flat, in_range = _flat_table_index(ncoords, TABLE_DIMS)
+    idx = jnp.concatenate([vmap.table, jnp.full((1,), -1, jnp.int32)])[flat]  # [Q, 7]
+    hit = (idx >= 0) & in_range
+    idx = jnp.maximum(idx, 0)
     return vmap.means[idx], vmap.inv_covs[idx], hit

@@ -113,7 +113,7 @@ def gicp_align(
     """Plane-to-plane GICP: minimize sum e^T (C_q + R C_p R^T)^-1 e over SE(3)."""
     corr2 = max_correspondence_distance * max_correspondence_distance
 
-    def body(_, carry):
+    def body(carry):
         T, done, iters, _f, _n = carry
         R = T[:3, :3]
         p = se3.transform_points(T, source_points)
@@ -132,13 +132,16 @@ def gicp_align(
 
         delta = solve_damped(H, g, jnp.asarray(1e-6, H.dtype))
         ok = jnp.isfinite(delta).all() & (n_inl >= 6)
-        delta = jnp.where(ok & ~done, delta, 0.0)
+        delta = jnp.where(ok, delta, 0.0)
         T_new = se3.se3_exp(delta) @ T
 
         fitness = jnp.sum(jnp.where(matched, d2, 0.0)) / jnp.maximum(n_inl, 1)
         newly_done = jnp.linalg.norm(delta) < transform_epsilon
-        iters = iters + jnp.where(done, 0, 1)
-        return T_new, done | newly_done, iters, fitness, n_inl
+        return T_new, done | newly_done, iters + 1, fitness, n_inl
+
+    def cond(carry):
+        _, done, iters, _, _ = carry
+        return jnp.logical_not(done) & (iters < max_iterations)
 
     init = (
         init_transform.astype(source_points.dtype),
@@ -147,7 +150,7 @@ def gicp_align(
         jnp.asarray(jnp.inf, source_points.dtype),
         jnp.asarray(0, jnp.int32),
     )
-    T, done, iters, fitness, n_inl = jax.lax.fori_loop(0, max_iterations, body, init)
+    T, done, iters, fitness, n_inl = jax.lax.while_loop(cond, body, init)
     return RegistrationResult(
         transform=T, converged=done, iterations=iters, fitness=fitness, num_inliers=n_inl
     )

@@ -62,7 +62,7 @@ def icp_align(
     """
     corr2 = max_correspondence_distance * max_correspondence_distance
 
-    def body(_, carry):
+    def body(carry):
         T, done, iters, _f, _n = carry
         p = se3.transform_points(T, source_points)
         idx, d2, found = nearest(target_grid, p, bucket_cap=bucket_cap)
@@ -73,7 +73,7 @@ def icp_align(
         delta_T = se3.make_transform(R, t)
         n_inl = jnp.sum(matched.astype(jnp.int32))
         ok = (n_inl >= 3) & jnp.isfinite(delta_T).all()
-        delta_T = jnp.where(ok & ~done, delta_T, jnp.eye(4, dtype=p.dtype))
+        delta_T = jnp.where(ok, delta_T, jnp.eye(4, dtype=p.dtype))
         T_new = delta_T @ T
 
         # PCL-style fitness: mean squared NN distance over valid source points; points with
@@ -85,8 +85,11 @@ def icp_align(
 
         step = se3.se3_log(delta_T)
         newly_done = jnp.linalg.norm(step) < transform_epsilon
-        iters = iters + jnp.where(done, 0, 1)
-        return T_new, done | newly_done, iters, fitness, n_inl
+        return T_new, done | newly_done, iters + 1, fitness, n_inl
+
+    def cond(carry):
+        _, done, iters, _, _ = carry
+        return jnp.logical_not(done) & (iters < max_iterations)
 
     init = (
         init_transform.astype(source_points.dtype),
@@ -95,7 +98,7 @@ def icp_align(
         jnp.asarray(jnp.inf, source_points.dtype),
         jnp.asarray(0, jnp.int32),
     )
-    T, done, iters, fitness, n_inl = jax.lax.fori_loop(0, max_iterations, body, init)
+    T, done, iters, fitness, n_inl = jax.lax.while_loop(cond, body, init)
     return RegistrationResult(
         transform=T, converged=done, iterations=iters, fitness=fitness, num_inliers=n_inl
     )

@@ -64,7 +64,7 @@ def ndt_align(
     d1, d2 = magnusson_constants(vmap.leaf, outlier_ratio)
     w_scale = -d1 * d2  # > 0: d1 < 0 by construction
 
-    def body(_, carry):
+    def body(carry):
         T, done, iters, _fitness, _inliers = carry
         p = se3.transform_points(T, source_points)                   # [N, 3]
         means, icovs, hit = lookup_direct7(vmap, p)                  # [N,7,...]
@@ -88,11 +88,14 @@ def ndt_align(
         )
 
         step_ok = jnp.isfinite(delta).all() & (n_inliers > 0)
-        delta = jnp.where(step_ok & ~done, delta, 0.0)
+        delta = jnp.where(step_ok, delta, 0.0)
         T_new = se3.se3_exp(delta) @ T
         newly_done = jnp.linalg.norm(delta) < transform_epsilon
-        iters = iters + jnp.where(done, 0, 1)
-        return T_new, done | newly_done, iters, fitness, n_inliers
+        return T_new, done | newly_done, iters + 1, fitness, n_inliers
+
+    def cond(carry):
+        _, done, iters, _, _ = carry
+        return jnp.logical_not(done) & (iters < max_iterations)
 
     init = (
         init_transform.astype(source_points.dtype),
@@ -101,7 +104,7 @@ def ndt_align(
         jnp.asarray(jnp.inf, source_points.dtype),
         jnp.asarray(0, jnp.int32),
     )
-    T, done, iters, fitness, inliers = jax.lax.fori_loop(0, max_iterations, body, init)
+    T, done, iters, fitness, inliers = jax.lax.while_loop(cond, body, init)
     return RegistrationResult(
         transform=T, converged=done, iterations=iters, fitness=fitness, num_inliers=inliers
     )
