@@ -18,13 +18,17 @@ import numpy as np
 
 
 def read_velodyne_bin(path: str, max_points: Optional[int] = None) -> np.ndarray:
-    """Load one KITTI velodyne scan -> [n, 3] float32 (intensity dropped)."""
+    """Load one KITTI velodyne scan -> [n, 3] float32 (intensity dropped).
+
+    Uses the native decoder (`native.read_bin`) when built; capacity-truncation keeps the
+    first `max_points` records (deterministic, like the native path)."""
+    if max_points is not None:
+        from lidar_graph_slam_tpu import native
+
+        pts, n = native.read_bin(path, max_points)
+        return pts[:n]
     data = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
-    pts = data[:, :3]
-    if max_points is not None and pts.shape[0] > max_points:
-        idx = np.random.default_rng(0).choice(pts.shape[0], size=max_points, replace=False)
-        pts = pts[idx]
-    return pts
+    return data[:, :3]
 
 
 def read_poses(path: str) -> np.ndarray:

@@ -28,6 +28,8 @@ def main(argv=None) -> int:
     ap.add_argument("--map-resolution", type=float, default=0.5)
     ap.add_argument("--no-loop-closure", action="store_true")
     ap.add_argument("--progress-every", type=int, default=20)
+    ap.add_argument("--metrics-jsonl", default=None,
+                    help="write per-frame structured metrics to this JSONL file")
     args = ap.parse_args(argv)
 
     from lidar_graph_slam_tpu.core.config import apply_cli_overrides, load_config
@@ -45,7 +47,10 @@ def main(argv=None) -> int:
     if args.dataset == "synthetic":
         from lidar_graph_slam_tpu.io.synthetic import SyntheticSequence
 
-        seq = SyntheticSequence(n_frames=args.frames, seed=0)
+        # Keep per-frame motion (~2.4 m) constant regardless of --frames so short runs
+        # stay within the matchers' convergence basin; a full lap needs ~100 frames.
+        seq = SyntheticSequence(n_frames=args.frames, seed=0,
+                                laps=min(1.08, 1.08 * args.frames / 100.0))
         gt_all = seq.poses
     else:
         from lidar_graph_slam_tpu.io.kitti import KittiSequence
@@ -54,7 +59,7 @@ def main(argv=None) -> int:
                             max_points=cfg.capacity.raw_points)
         gt_all = seq.gt_poses
 
-    pipe = SlamPipeline(cfg)
+    pipe = SlamPipeline(cfg, metrics_path=args.metrics_jsonl)
     result = pipe.run(seq, progress_every=args.progress_every)
 
     os.makedirs(args.output, exist_ok=True)

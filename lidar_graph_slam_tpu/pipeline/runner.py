@@ -36,7 +36,10 @@ class PipelineResult:
 class SlamPipeline:
     """Host driver: feed raw scans, get trajectories, map, and metrics."""
 
-    def __init__(self, cfg: PipelineConfig):
+    def __init__(self, cfg: PipelineConfig, metrics_path: Optional[str] = None):
+        from lidar_graph_slam_tpu.utils.telemetry import MetricsWriter
+
+        self.metrics_writer = MetricsWriter(metrics_path)
         self.cfg = cfg
         cap = cfg.capacity
         self.prefilter = make_prefilter(
@@ -77,6 +80,20 @@ class SlamPipeline:
         self.timings["register"].append(t2 - t1)
         self.timings["backend"].append(t3 - t2)
         self.odometry_poses.append(out["pose"])
+        self.metrics_writer.emit(
+            {
+                "frame": len(self.odometry_poses) - 1,
+                "converged": out["converged"],
+                "fitness": out["fitness"],
+                "iterations": out["iterations"],
+                "is_keyframe": out["is_keyframe"],
+                "n_keyframes": self.front.n_keyframes,
+                "loops_accepted": sum(1 for l in self.back.loop_log if l["accepted"]),
+                "prefilter_ms": 1000 * (t1 - t0),
+                "register_ms": 1000 * (t2 - t1),
+                "backend_ms": 1000 * (t3 - t2),
+            }
+        )
         return out
 
     def run(self, scans: Iterable, progress_every: int = 0) -> PipelineResult:

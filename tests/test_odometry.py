@@ -54,3 +54,21 @@ def test_keyframe_displacement_trigger():
     # Keyframe log carries monotone accumulated distance (`lidar_scan_matcher.cpp:185`).
     accum = [k["accum_distance"] for k in sm.keyframe_log]
     assert all(b > a for a, b in zip(accum, accum[1:]))
+
+
+@pytest.mark.slow
+def test_gicp_odometry_bounded_drift():
+    cfg = ScanMatcherConfig(registration_method="GICP")
+    est, gt, sm = run_odometry(cfg, n_frames=15, laps=0.12)
+    ate = ate_rmse(est, gt, align=False)
+    traveled = np.sum(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1))
+    assert ate < max(0.05 * traveled, 0.4), f"GICP ATE {ate:.3f} over {traveled:.1f} m"
+
+
+@pytest.mark.slow
+def test_icp_odometry_bounded_drift():
+    cfg = ScanMatcherConfig(registration_method="ICP")
+    est, gt, sm = run_odometry(cfg, n_frames=15, laps=0.12)
+    ate = ate_rmse(est, gt, align=False)
+    traveled = np.sum(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1))
+    assert ate < max(0.05 * traveled, 0.4), f"ICP ATE {ate:.3f} over {traveled:.1f} m"
