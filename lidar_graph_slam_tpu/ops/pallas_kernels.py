@@ -1,0 +1,176 @@
+"""Pallas TPU kernels for the registration hot loop.
+
+`ndt_accumulate` fuses the per-iteration core of NDT Gauss-Newton — residuals, Mahalanobis
+distances, Magnusson exponential weights, and the 6x6 normal-equation reduction — into one
+kernel. The XLA path materializes [K, 3, 6] Jacobian and [K, 3, 6] W·J intermediates
+(~50 MB of HBM traffic per iteration at K = 16384*7 correspondences); the fused kernel
+streams the packed correspondence rows once (~7 MB) and keeps every intermediate in VMEM
+lanes. Analytic block structure (J = [-hat(p) | I]):
+
+    H_ww = -P W P,  H_wv = P W,  H_vv = W,  g_w = p x (W e),  g_v = W e,   P = hat(p)
+
+summed over correspondences with weight w = w_scale * exp(-0.5 d2 * e^T W e) * hit.
+
+Layout: correspondences are packed lane-major ([component, K] with K a multiple of 128) so
+the VPU streams (8, 128) tiles at full occupancy; the output accumulator lives in one
+(8, 128) block indexed identically by every grid step (TPU grid steps run sequentially, so
+in-place accumulation is race-free).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+
+
+def _cross(p, v):
+    """Lane-wise cross product p x v for 3-lists of [tile] vectors."""
+    return [
+        p[1] * v[2] - p[2] * v[1],
+        p[2] * v[0] - p[0] * v[2],
+        p[0] * v[1] - p[1] * v[0],
+    ]
+
+
+def _ndt_accum_kernel(params_ref, e_ref, w_ref, p_ref, wm_ref, out_ref):
+    """One grid step: accumulate H (6x6), g (6), stats over a [*, TILE] slab.
+
+    e_ref:  [3, T]  residuals (p - mu)
+    w_ref:  [9, T]  inverse covariances, row-major (c00..c22)
+    p_ref:  [3, T]  transformed source points (Jacobian anchor)
+    wm_ref: [1, T]  hit mask (1.0 / 0.0)
+    out_ref: [8, 128] accumulator — H in [0:6, 0:6], g in [6, 0:6],
+             [7, 0] = sum of weights, [7, 1] = hit count.
+    """
+    step = pl.program_id(0)
+    d2 = params_ref[0]
+    w_scale = params_ref[1]
+
+    e = [e_ref[i, :] for i in range(3)]
+    c = [w_ref[i, :] for i in range(9)]
+    p = [p_ref[i, :] for i in range(3)]
+    hit = wm_ref[0, :]
+
+    # W rows (symmetric storage came in row-major, trust as-is).
+    W = [[c[0], c[1], c[2]], [c[3], c[4], c[5]], [c[6], c[7], c[8]]]
+    # We = W @ e
+    We = [W[i][0] * e[0] + W[i][1] * e[1] + W[i][2] * e[2] for i in range(3)]
+    md2 = e[0] * We[0] + e[1] * We[1] + e[2] * We[2]
+    w = w_scale * jnp.exp(-0.5 * d2 * md2) * hit
+
+    # g blocks.
+    g_w = _cross(p, We)            # p x (W e)
+    g_v = We
+
+    # H blocks. Columns of P = hat(p): P[:,0] = (0, pz, -py), P[:,1] = (-pz, 0, px),
+    # P[:,2] = (py, -px, 0).
+    Pcol = [
+        [jnp.zeros_like(p[0]), p[2], -p[1]],
+        [-p[2], jnp.zeros_like(p[0]), p[0]],
+        [p[1], -p[0], jnp.zeros_like(p[0])],
+    ]
+    # WP[:, j] = W @ P[:, j]
+    WP = [[W[i][0] * Pcol[j][0] + W[i][1] * Pcol[j][1] + W[i][2] * Pcol[j][2]
+           for j in range(3)] for i in range(3)]          # WP[i][j]
+    # H_wv = P @ W: column j = p x W[:, j] (W symmetric: column j == row j).
+    H_wv = [[None] * 3 for _ in range(3)]
+    for j in range(3):
+        col = _cross(p, [W[0][j], W[1][j], W[2][j]])
+        for i in range(3):
+            H_wv[i][j] = col[i]
+    # H_ww = -P @ WP: column j = -(p x WP[:, j]).
+    H_ww = [[None] * 3 for _ in range(3)]
+    for j in range(3):
+        col = _cross(p, [WP[0][j], WP[1][j], WP[2][j]])
+        for i in range(3):
+            H_ww[i][j] = -col[i]
+
+    # Mosaic allows neither scatter nor scalar VMEM stores; place the 44 reduced scalars
+    # with one-hot masks over the (8, 128) accumulator (44 cheap selects per grid step).
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+    acc = jnp.zeros((8, _LANES), dtype=jnp.float32)
+
+    def place(acc, i, j, val):
+        return acc + jnp.where((row_ids == i) & (col_ids == j), val, 0.0)
+
+    for i in range(3):
+        for j in range(3):
+            acc = place(acc, i, j, jnp.sum(w * H_ww[i][j]))
+            acc = place(acc, i, 3 + j, jnp.sum(w * H_wv[i][j]))
+            acc = place(acc, 3 + i, j, jnp.sum(w * H_wv[j][i]))      # (P W)^T
+            acc = place(acc, 3 + i, 3 + j, jnp.sum(w * W[i][j]))
+    for i in range(3):
+        acc = place(acc, 6, i, jnp.sum(w * g_w[i]))
+        acc = place(acc, 6, 3 + i, jnp.sum(w * g_v[i]))
+    acc = place(acc, 7, 0, jnp.sum(w))
+    acc = place(acc, 7, 1, jnp.sum(hit))
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[:, :] = acc
+
+    @pl.when(step > 0)
+    def _():
+        out_ref[:, :] = out_ref[:, :] + acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ndt_accumulate(e, icovs, p, hit, d2, w_scale, interpret: bool = False):
+    """Fused NDT normal-equation accumulation.
+
+    e:     [K, 3] residuals (p - mean) per correspondence
+    icovs: [K, 3, 3]
+    p:     [K, 3] transformed points
+    hit:   [K] bool
+    Returns (H [6,6], g [6], sum_w scalar, n_hit scalar).
+    """
+    K = e.shape[0]
+    tile = 4096 if K % 4096 == 0 else _LANES
+    assert K % tile == 0, f"correspondence count {K} must be lane-aligned"
+    grid = K // tile
+
+    eT = e.T.astype(jnp.float32)                       # [3, K]
+    wT = icovs.reshape(K, 9).T.astype(jnp.float32)     # [9, K]
+    pT = p.T.astype(jnp.float32)                       # [3, K]
+    hT = hit.astype(jnp.float32).reshape(1, K)         # [1, K]
+
+    params = jnp.stack([jnp.asarray(d2, jnp.float32), jnp.asarray(w_scale, jnp.float32)])
+    out = pl.pallas_call(
+        _ndt_accum_kernel,
+        out_shape=jax.ShapeDtypeStruct((8, _LANES), jnp.float32),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, _LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(params, eT, wT, pT, hT)
+
+    H = out[0:6, 0:6]
+    g = out[6, 0:6]
+    return H, g, out[7, 0], out[7, 1]
+
+
+def ndt_accumulate_xla(e, icovs, p, hit, d2, w_scale):
+    """Reference XLA implementation (also the CPU path) — same math, unfused."""
+    from lidar_graph_slam_tpu.registration.base import (
+        accumulate_normal_equations,
+        point_jacobian_blocks,
+    )
+
+    md2 = jnp.einsum("ki,kij,kj->k", e, icovs, e)
+    w = jnp.where(hit, w_scale * jnp.exp(-0.5 * d2 * md2), 0.0)
+    J = point_jacobian_blocks(p)
+    H, g = accumulate_normal_equations(J, icovs, e, w)
+    return H, g, jnp.sum(w), jnp.sum(hit.astype(jnp.float32))

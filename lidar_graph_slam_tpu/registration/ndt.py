@@ -29,12 +29,11 @@ import jax.numpy as jnp
 
 from lidar_graph_slam_tpu.core import se3
 from lidar_graph_slam_tpu.core.config import NdtConfig
+from lidar_graph_slam_tpu.ops import pallas_kernels
 from lidar_graph_slam_tpu.ops.voxel import NdtVoxelMap, build_ndt_map, lookup_direct7
 from lidar_graph_slam_tpu.registration.base import (
     RegistrationResult,
-    accumulate_normal_equations,
     cap_step,
-    point_jacobian_blocks,
     solve_damped,
 )
 
@@ -64,20 +63,36 @@ def ndt_align(
     d1, d2 = magnusson_constants(vmap.leaf, outlier_ratio)
     w_scale = -d1 * d2  # > 0: d1 < 0 by construction
 
+    # The fused Pallas accumulation runs on TPU backends; CPU (tests, fallback) uses the
+    # identical-math XLA path. The correspondence count N*7 is lane-aligned for all
+    # power-of-two capacities >= 128.
+    n = source_points.shape[0]
+    use_pallas = (
+        jax.devices()[0].platform != "cpu" and (n * 7) % 128 == 0
+    )
+
     def body(carry):
         T, done, iters, _fitness, _inliers = carry
         p = se3.transform_points(T, source_points)                   # [N, 3]
         means, icovs, hit = lookup_direct7(vmap, p)                  # [N,7,...]
         valid = hit & source_mask[:, None]
         e = p[:, None, :] - means                                    # [N, 7, 3]
-        md2 = jnp.einsum("nki,nkij,nkj->nk", e, icovs, e)
-        w = jnp.where(valid, w_scale * jnp.exp(-0.5 * d2 * md2), 0.0)
 
-        J = point_jacobian_blocks(p)[:, None, :, :]                  # [N,1,3,6] broadcast
-        J = jnp.broadcast_to(J, e.shape[:2] + (3, 6))
-        H, g = accumulate_normal_equations(J, icovs, e, w)
+        K = n * 7
+        p_rep = jnp.broadcast_to(p[:, None, :], (n, 7, 3))
+        if use_pallas:
+            H, g, _sum_w, n_hit = pallas_kernels.ndt_accumulate(
+                e.reshape(K, 3), icovs.reshape(K, 3, 3), p_rep.reshape(K, 3),
+                valid.reshape(K), d2, w_scale,
+            )
+            n_inliers = n_hit.astype(jnp.int32)
+        else:
+            H, g, _sum_w, n_hit = pallas_kernels.ndt_accumulate_xla(
+                e.reshape(K, 3), icovs.reshape(K, 3, 3), p_rep.reshape(K, 3),
+                valid.reshape(K), d2, w_scale,
+            )
+            n_inliers = n_hit.astype(jnp.int32)
 
-        n_inliers = jnp.sum(valid.astype(jnp.int32))
         delta = solve_damped(H, g, jnp.asarray(1e-6, H.dtype))
         delta = cap_step(delta, step_size)
         # Mean squared distance to the matched voxel means (diagnostic fitness).
