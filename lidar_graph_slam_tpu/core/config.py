@@ -102,6 +102,10 @@ class ScanMatcherConfig:
     # `lidar_scan_matcher.cpp:165`); constant-velocity extrapolation is strictly more
     # robust at high per-frame motion and is our default. Set "constant_pose" for parity.
     initial_guess: str = "constant_velocity"
+    # Health gate (no reference counterpart — its only guard is hasConverged,
+    # `lidar_scan_matcher.cpp:167-170`): a solver that reports convergence with fewer
+    # than this fraction of source points matched is treated as a failed frame.
+    min_inlier_fraction: float = 0.05
     ndt: NdtConfig = field(default_factory=NdtConfig)
     gicp: GicpConfig = field(default_factory=GicpConfig)
 

@@ -165,6 +165,12 @@ class ScanMatcher:
             guess = self.pose
         res = self._register(cloud, jnp.asarray(guess))
         converged = bool(res.converged)
+        # Health gate: "converged" with almost no matched points is a silent failure
+        # (e.g. the scan left the submap's basin); treat like non-convergence.
+        n_valid = max(int(np.asarray(cloud.mask).sum()), 1)
+        denom = n_valid * 7 if self.method == "NDT" else n_valid
+        if converged and int(res.num_inliers) < self.cfg.min_inlier_fraction * denom:
+            converged = False
         if not converged:
             # Reference drops the frame and keeps the previous pose (`:167-170`).
             return {

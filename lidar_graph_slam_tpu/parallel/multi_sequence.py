@@ -1,0 +1,157 @@
+"""Batched multi-sequence odometry: whole scan streams as one device program.
+
+BASELINE.json configs[3] ("multi-sequence batch: sharded keyframes, distributed BA on
+1 host") needs odometry over several sequences at once. The host-driven `ScanMatcher`
+pays a host round trip per frame; here the *entire* front end — align, keyframe trigger,
+submap-ring update, NDT map rebuild — runs as `lax.scan` over frames with a leading batch
+axis vmapped over sequences and sharded across the device mesh. Zero host syncs per frame:
+the TPU-native answer to "run the front end on 4 KITTI sequences at once".
+
+Data-dependent keyframing becomes masked state updates (SURVEY.md §7 "hard parts"): every
+frame computes the would-be ring insert and applies it behind the displacement trigger.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lidar_graph_slam_tpu.core import se3
+from lidar_graph_slam_tpu.core.config import ScanMatcherConfig
+from lidar_graph_slam_tpu.core.pointcloud import PAD_VALUE
+from lidar_graph_slam_tpu.ops.voxel import build_ndt_map
+from lidar_graph_slam_tpu.registration.ndt import ndt_align
+
+
+@struct.dataclass
+class BatchFrontState:
+    pose: jax.Array          # [4, 4]
+    last_motion: jax.Array   # [4, 4]
+    last_kf_pos: jax.Array   # [3]
+    accum_dist: jax.Array    # []
+    kf_count: jax.Array      # [] int32
+    ring_clouds: jax.Array   # [W, N, 3] sensor-frame keyframe clouds
+    ring_masks: jax.Array    # [W, N]
+    ring_poses: jax.Array    # [W, 4, 4]
+    ring_used: jax.Array     # [W]
+
+
+def _init_state(window: int, n: int) -> BatchFrontState:
+    return BatchFrontState(
+        pose=jnp.eye(4, dtype=jnp.float32),
+        last_motion=jnp.eye(4, dtype=jnp.float32),
+        last_kf_pos=jnp.zeros(3, jnp.float32),
+        accum_dist=jnp.zeros((), jnp.float32),
+        kf_count=jnp.zeros((), jnp.int32),
+        ring_clouds=jnp.full((window, n, 3), PAD_VALUE, jnp.float32),
+        ring_masks=jnp.zeros((window, n), bool),
+        ring_poses=jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (window, 1, 1)),
+        ring_used=jnp.zeros((window,), bool),
+    )
+
+
+def _step(state: BatchFrontState, scan, scan_mask, cfg: ScanMatcherConfig, map_capacity: int):
+    """One front-end frame for one sequence (vmapped over the batch axis by the caller)."""
+    window, n = state.ring_clouds.shape[:2]
+
+    # Target submap from the current ring (identical content to a rebuild-on-keyframe
+    # cache: the ring only changes on inserts).
+    world = se3.transform_points(state.ring_poses, state.ring_clouds)
+    m = state.ring_masks & state.ring_used[:, None]
+    world = jnp.where(m[..., None], world, PAD_VALUE)
+    vm = build_ndt_map(world.reshape(-1, 3), m.reshape(-1), jnp.float32(cfg.ndt.resolution),
+                       capacity=map_capacity)
+
+    guess = jnp.where(state.kf_count > 0, state.pose @ state.last_motion, jnp.eye(4))
+    if cfg.ndt.coarse_resolution > 0.0:
+        vm_coarse = build_ndt_map(
+            world.reshape(-1, 3), m.reshape(-1), jnp.float32(cfg.ndt.coarse_resolution),
+            capacity=map_capacity // 2,
+        )
+        pre = ndt_align(
+            vm_coarse, scan, scan_mask, guess,
+            step_size=cfg.ndt.step_size * 4.0,
+            transform_epsilon=cfg.ndt.transform_epsilon,
+            outlier_ratio=cfg.ndt.outlier_ratio,
+            max_iterations=cfg.ndt.coarse_iterations,
+        )
+        guess = pre.transform
+    res = ndt_align(
+        vm, scan, scan_mask, guess,
+        step_size=cfg.ndt.step_size,
+        transform_epsilon=cfg.ndt.transform_epsilon,
+        outlier_ratio=cfg.ndt.outlier_ratio,
+        max_iterations=cfg.ndt.max_iterations,
+    )
+    healthy = res.converged & (res.num_inliers > 0)
+    is_first = state.kf_count == 0
+    new_pose = jnp.where(is_first, jnp.eye(4), jnp.where(healthy, res.transform, state.pose))
+    last_motion = jnp.where(
+        healthy & ~is_first, se3.inverse(state.pose) @ new_pose, state.last_motion
+    )
+
+    delta = jnp.linalg.norm(new_pose[:3, 3] - state.last_kf_pos)
+    trigger = is_first | (healthy & (delta >= cfg.displacement))
+
+    slot = state.kf_count % window
+    ring_clouds = jnp.where(trigger, state.ring_clouds.at[slot].set(scan), state.ring_clouds)
+    ring_masks = jnp.where(trigger, state.ring_masks.at[slot].set(scan_mask), state.ring_masks)
+    ring_poses = jnp.where(trigger, state.ring_poses.at[slot].set(new_pose), state.ring_poses)
+    ring_used = jnp.where(trigger, state.ring_used.at[slot].set(True), state.ring_used)
+
+    new_state = BatchFrontState(
+        pose=new_pose,
+        last_motion=last_motion,
+        last_kf_pos=jnp.where(trigger, new_pose[:3, 3], state.last_kf_pos),
+        accum_dist=state.accum_dist + jnp.where(trigger & ~is_first, delta, 0.0),
+        kf_count=state.kf_count + trigger.astype(jnp.int32),
+        ring_clouds=ring_clouds,
+        ring_masks=ring_masks,
+        ring_poses=ring_poses,
+        ring_used=ring_used,
+    )
+    out = {
+        "pose": new_pose,
+        "is_keyframe": trigger,
+        "converged": healthy,
+        "fitness": res.fitness,
+        "accum_dist": new_state.accum_dist,
+    }
+    return new_state, out
+
+
+@partial(jax.jit, static_argnames=("cfg", "map_capacity"))
+def _run_batch(scans, masks, cfg: ScanMatcherConfig, map_capacity: int):
+    B, F, N = scans.shape[:3]
+    window = cfg.max_scan_accumulate_num
+    init = jax.vmap(lambda _: _init_state(window, N))(jnp.arange(B))
+
+    def frame(state, inputs):
+        scan, mask = inputs
+        return jax.vmap(lambda s, sc, mk: _step(s, sc, mk, cfg, map_capacity))(state, scan, mask)
+
+    # scan over frames: inputs time-major [F, B, ...].
+    final, outs = jax.lax.scan(frame, init, (scans.swapaxes(0, 1), masks.swapaxes(0, 1)))
+    # outs pytree leaves are [F, B, ...] -> [B, F, ...].
+    outs = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), outs)
+    return final, outs
+
+
+def batch_odometry(scans, masks, cfg: ScanMatcherConfig, map_capacity: int = 32768, mesh=None):
+    """Run NDT front-end odometry on [B, F, N, 3] scan batches.
+
+    With `mesh`, the batch axis is sharded over the mesh's first axis (data parallel over
+    sequences). Returns (final_state, outs) where outs["pose"] is [B, F, 4, 4].
+    """
+    scans = jnp.asarray(scans)
+    masks = jnp.asarray(masks)
+    if mesh is not None:
+        axis = list(mesh.shape.keys())[0]
+        sh = NamedSharding(mesh, P(axis))
+        scans = jax.device_put(scans, sh)
+        masks = jax.device_put(masks, sh)
+    return _run_batch(scans, masks, cfg, map_capacity)

@@ -22,12 +22,8 @@ from flax import struct
 
 from lidar_graph_slam_tpu.core import se3
 from lidar_graph_slam_tpu.ops.neighbors import HashGrid, build_hash_grid, knn, nearest
-from lidar_graph_slam_tpu.registration.base import (
-    RegistrationResult,
-    accumulate_normal_equations,
-    point_jacobian_blocks,
-    solve_damped,
-)
+from lidar_graph_slam_tpu.ops import pallas_kernels
+from lidar_graph_slam_tpu.registration.base import RegistrationResult, solve_damped
 
 
 def _inv3x3(A: jax.Array) -> jax.Array:
@@ -112,6 +108,8 @@ def gicp_align(
 ) -> RegistrationResult:
     """Plane-to-plane GICP: minimize sum e^T (C_q + R C_p R^T)^-1 e over SE(3)."""
     corr2 = max_correspondence_distance * max_correspondence_distance
+    n = source_points.shape[0]
+    use_pallas = jax.devices()[0].platform != "cpu" and n % 128 == 0
 
     def body(carry):
         T, done, iters, _f, _n = carry
@@ -125,10 +123,13 @@ def gicp_align(
         Cp_rot = jnp.einsum("ij,njk,lk->nil", R, source_covs, R)
         M = _inv3x3(Cq + Cp_rot)
         e = p - q
-        w = matched.astype(p.dtype)
-        J = point_jacobian_blocks(p)
-        H, g = accumulate_normal_equations(J, M, e, w)
-        n_inl = jnp.sum(matched.astype(jnp.int32))
+        # Same fused kernel as NDT: with d2 = 0 the Magnusson weight degenerates to the
+        # match mask, leaving the plain GICP normal equations.
+        if use_pallas:
+            H, g, _sw, n_hit = pallas_kernels.ndt_accumulate(e, M, p, matched, 0.0, 1.0)
+        else:
+            H, g, _sw, n_hit = pallas_kernels.ndt_accumulate_xla(e, M, p, matched, 0.0, 1.0)
+        n_inl = n_hit.astype(jnp.int32)
 
         delta = solve_damped(H, g, jnp.asarray(1e-6, H.dtype))
         ok = jnp.isfinite(delta).all() & (n_inl >= 6)
