@@ -19,6 +19,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from lidar_graph_slam_tpu.utils.jit_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from lidar_graph_slam_tpu.core.config import NdtConfig
     from lidar_graph_slam_tpu.core.pointcloud import PointCloud
     from lidar_graph_slam_tpu.io.synthetic import make_world, make_loop_trajectory, simulate_scan

@@ -13,4 +13,9 @@ import jax as _jax
 # accumulation engine-wide; hot kernels that tolerate bf16 opt in explicitly.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# NOTE: the persistent compilation cache is NOT enabled here. Cached CPU executables can
+# be produced by a remote compile service with different host CPU features, and XLA will
+# load them with a SIGILL/wrong-results warning. TPU entry points (bench.py, the CLI)
+# opt in explicitly via utils.jit_cache.enable_compilation_cache().
+
 __version__ = "0.1.0"

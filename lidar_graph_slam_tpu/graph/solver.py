@@ -238,50 +238,53 @@ def _loop_terms(g: PoseGraph, poses: jax.Array):
     return r, Ji, Jj
 
 
-def _solve_step(g: PoseGraph, poses: jax.Array, damping: jax.Array) -> jax.Array:
-    """One damped GN step: returns delta twists [K, 6] (right perturbation)."""
+def loop_gradient_and_whitened_columns(g: PoseGraph, poses: jax.Array):
+    """Loop-factor linearization shared by every solve path.
+
+    Returns (b_loop [K, 6] gradient contribution, Vw [K, 6, 6L] whitened Woodbury
+    columns). Whitening by sqrt(info) makes the Woodbury small system I + Vw^T T^-1 Vw —
+    unit-diagonal and f32-friendly regardless of factor strength; masked loops produce
+    zero columns, so no epsilon hacks are needed.
+    """
     K = poses.shape[0]
     L = g.loop_i.shape[0]
     dtype = poses.dtype
-    D, U, b_chain = _assemble_chain(g, poses, damping)
-
     r, Ji, Jj = _loop_terms(g, poses)
     ml = g.loop_mask.astype(dtype)[:, None]
     info_l = g.loop_info.astype(dtype) * ml                      # [L, 6] masked info
     JiW = jnp.swapaxes(Ji, -1, -2) * info_l[:, None, :]
     JjW = jnp.swapaxes(Jj, -1, -2) * info_l[:, None, :]
-    b_loop_i = -(JiW @ r[..., None])[..., 0]                     # [L, 6]
-    b_loop_j = -(JjW @ r[..., None])[..., 0]
-    b = b_chain.at[g.loop_i].add(b_loop_i).at[g.loop_j].add(b_loop_j)
+    b_loop = jnp.zeros((K, 6), dtype)
+    b_loop = b_loop.at[g.loop_i].add(-(JiW @ r[..., None])[..., 0])
+    b_loop = b_loop.at[g.loop_j].add(-(JjW @ r[..., None])[..., 0])
 
-    # Woodbury: H = T + V Lambda V^T with V = rows(i: Ji, j: Jj) per loop factor.
-    # Build the [K, 6, 6L] dense RHS holding V (scattered), solve T^{-1} [b | V].
-    V = jnp.zeros((K, 6, L, 6), dtype)
-    V = V.at[g.loop_i].add(
-        jnp.swapaxes(Ji, -1, -2)[:, :, None, :] * jnp.eye(L, dtype=dtype).T[:, None, :, None]
-    )
-    # The scatter above: for each l, place Ji_l^T (6x6) at pose loop_i[l], lane l.
-    V = V.at[g.loop_j].add(
-        jnp.swapaxes(Jj, -1, -2)[:, :, None, :] * jnp.eye(L, dtype=dtype).T[:, None, :, None]
-    )
-    V = V.reshape(K, 6, L * 6)
+    sqrt_info = jnp.sqrt(info_l)                                 # [L, 6]
+    JiS = jnp.swapaxes(Ji, -1, -2) * sqrt_info[:, None, :]       # Ji^T sqrt(Lambda)
+    JjS = jnp.swapaxes(Jj, -1, -2) * sqrt_info[:, None, :]
+    Vw = jnp.zeros((K, 6, L, 6), dtype)
+    lane = jnp.eye(L, dtype=dtype).T[:, None, :, None]
+    Vw = Vw.at[g.loop_i].add(JiS[:, :, None, :] * lane)
+    Vw = Vw.at[g.loop_j].add(JjS[:, :, None, :] * lane)
+    return b_loop, Vw.reshape(K, 6, L * 6)
 
-    rhs = jnp.concatenate([b[..., None], V], axis=-1)            # [K, 6, 1+6L]
-    sol = _tridiag_solve(D, U, rhs)                              # [K, 6, 1+6L]
-    Tinv_b = sol[..., 0]                                         # [K, 6]
-    Tinv_V = sol[..., 1:]                                        # [K, 6, 6L]
 
-    # Small system: (Lambda^{-1} + V^T T^{-1} V) z = V^T T^{-1} b.
-    VtTinvV = jnp.einsum("kim,kin->mn", V, Tinv_V)               # [6L, 6L]
-    VtTinvb = jnp.einsum("kim,ki->m", V, Tinv_b)                 # [6L]
-    # Lambda^{-1}: diagonal per loop factor; masked-out loops get huge Lambda^{-1}
-    # (=> zero correction), keeping the small solve well-posed.
-    lam_inv = jnp.where(ml > 0, 1.0 / jnp.maximum(g.loop_info.astype(dtype), 1e-12), 1e12)
-    small = jnp.diag(lam_inv.reshape(-1)) + VtTinvV
-    z = jnp.linalg.solve(small, VtTinvb)                         # [6L]
-    correction = jnp.einsum("kim,m->ki", Tinv_V, z)              # [K, 6]
-    delta = Tinv_b - correction
-    return delta
+def woodbury_correct(Vw: jax.Array, Tinv_b: jax.Array, Tinv_V: jax.Array) -> jax.Array:
+    """delta = T^-1 b - T^-1 Vw (I + Vw^T T^-1 Vw)^-1 Vw^T T^-1 b."""
+    VtTinvV = jnp.einsum("kim,kin->mn", Vw, Tinv_V)
+    VtTinvb = jnp.einsum("kim,ki->m", Vw, Tinv_b)
+    small = jnp.eye(Vw.shape[-1], dtype=Vw.dtype) + VtTinvV
+    z = jnp.linalg.solve(small, VtTinvb)
+    return Tinv_b - jnp.einsum("kim,m->ki", Tinv_V, z)
+
+
+def _solve_step(g: PoseGraph, poses: jax.Array, damping: jax.Array) -> jax.Array:
+    """One damped GN step: returns delta twists [K, 6] (right perturbation)."""
+    D, U, b_chain = _assemble_chain(g, poses, damping)
+    b_loop, Vw = loop_gradient_and_whitened_columns(g, poses)
+    b = b_chain + b_loop
+    rhs = jnp.concatenate([b[..., None], Vw], axis=-1)           # [K, 6, 1+6L]
+    sol = _tridiag_solve(D, U, rhs)
+    return woodbury_correct(Vw, sol[..., 0], sol[..., 1:])
 
 
 @partial(jax.jit, static_argnames=("max_iterations",))

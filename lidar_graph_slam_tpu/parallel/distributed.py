@@ -167,31 +167,7 @@ def distributed_graph_step(mesh: Mesh, g: gsolver.PoseGraph, damping: float = 1e
 
 def _woodbury_solve(g: gsolver.PoseGraph, D, U, b):
     """Shared tail of the solve: fold loop factors into the tridiagonal system."""
-    K = g.poses.shape[0]
-    L = g.loop_i.shape[0]
-    dtype = b.dtype
-    r, Ji, Jj = gsolver._loop_terms(g, g.poses)
-    ml = g.loop_mask.astype(dtype)[:, None]
-    info_l = g.loop_info.astype(dtype) * ml
-    JiW = jnp.swapaxes(Ji, -1, -2) * info_l[:, None, :]
-    JjW = jnp.swapaxes(Jj, -1, -2) * info_l[:, None, :]
-    b = b.at[g.loop_i].add(-(JiW @ r[..., None])[..., 0])
-    b = b.at[g.loop_j].add(-(JjW @ r[..., None])[..., 0])
-
-    V = jnp.zeros((K, 6, L, 6), dtype)
-    V = V.at[g.loop_i].add(
-        jnp.swapaxes(Ji, -1, -2)[:, :, None, :] * jnp.eye(L, dtype=dtype).T[:, None, :, None]
-    )
-    V = V.at[g.loop_j].add(
-        jnp.swapaxes(Jj, -1, -2)[:, :, None, :] * jnp.eye(L, dtype=dtype).T[:, None, :, None]
-    )
-    V = V.reshape(K, 6, L * 6)
-    rhs = jnp.concatenate([b[..., None], V], axis=-1)
+    b_loop, Vw = gsolver.loop_gradient_and_whitened_columns(g, g.poses)
+    rhs = jnp.concatenate([(b + b_loop)[..., None], Vw], axis=-1)
     sol = gsolver._tridiag_solve(D, U, rhs)
-    Tinv_b, Tinv_V = sol[..., 0], sol[..., 1:]
-    VtTinvV = jnp.einsum("kim,kin->mn", V, Tinv_V)
-    VtTinvb = jnp.einsum("kim,ki->m", V, Tinv_b)
-    lam_inv = jnp.where(ml > 0, 1.0 / jnp.maximum(g.loop_info.astype(dtype), 1e-12), 1e12)
-    small = jnp.diag(lam_inv.reshape(-1)) + VtTinvV
-    z = jnp.linalg.solve(small, VtTinvb)
-    return Tinv_b - jnp.einsum("kim,m->ki", Tinv_V, z)
+    return gsolver.woodbury_correct(Vw, sol[..., 0], sol[..., 1:])

@@ -33,6 +33,9 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     from lidar_graph_slam_tpu.core.config import apply_cli_overrides, load_config
+    from lidar_graph_slam_tpu.utils.jit_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from lidar_graph_slam_tpu.io.pcd import write_kitti_trajectory, write_tum_trajectory
     from lidar_graph_slam_tpu.pipeline.runner import SlamPipeline
     from lidar_graph_slam_tpu.utils.evaluation import ate_rmse, rpe
