@@ -117,6 +117,7 @@ class GraphSlamConfig:
     rate: float = 1.0                       # loop-search cadence [Hz] (`param.yaml:3`)
     loop_search_period_frames: int = 10     # our frame-count analog of the 1 Hz wall timer
     search_key_frame_num: int = 20          # submap half-window ±20 (`param.yaml:4`)
+    search_radius: float = 50.0             # dormant kd-tree detector's radius (`param.yaml:5`)
     score_threshold: float = 0.3            # ICP fitness accept gate (`param.yaml:6`)
     search_for_candidate_threshold: float = 15.0  # euclid gate [m] (`param.yaml:7`)
     accumulate_distance_threshold: float = 100.0  # accum-dist gate [m] (`param.yaml:8`)

@@ -111,7 +111,7 @@ class GraphBasedSLAM:
         if mode == "inline":
             gate &= d < self.cfg.search_for_candidate_threshold
         elif mode == "radius":
-            gate &= d < getattr(self.cfg, "search_radius", self.cfg.search_for_candidate_threshold)
+            gate &= d < self.cfg.search_radius
         else:
             raise ValueError(f"unknown loop detection mode {mode!r}")
         if not gate.any():

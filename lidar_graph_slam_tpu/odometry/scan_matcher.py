@@ -94,6 +94,12 @@ class ScanMatcher:
         self.pose = np.eye(4, dtype=np.float32)
         self.last_motion = np.eye(4, dtype=np.float32)  # T_{t-1}^{-1} T_t for velocity model
         self.last_kf_pose = np.eye(4, dtype=np.float32)
+        # IMU queue. The reference declares these hooks but never implements them
+        # (`lidar_scan_matcher.hpp:64-68`, empty `correct_imu` `lidar_scan_matcher.cpp:
+        # 117-120`, `imu_queue_` hpp:113); here the gyro actually improves the initial
+        # guess: integrated angular velocity replaces the constant-velocity rotation.
+        self.imu_queue: list[tuple[float, np.ndarray]] = []  # (stamp, angular_velocity)
+        self.last_scan_stamp: Optional[float] = None
         self.accum_distance = 0.0
         self.n_keyframes = 0
         self.n_frames = 0
@@ -144,12 +150,42 @@ class ScanMatcher:
 
     # -- public API ---------------------------------------------------------------------
 
-    def process(self, cloud: PointCloud) -> dict:
+    def add_imu(self, stamp: float, angular_velocity, linear_acceleration=None) -> None:
+        """Queue an IMU sample (the reference's `callback_imu` slot). Only the gyro is
+        used (rotation prediction); accel is accepted for interface parity."""
+        del linear_acceleration
+        self.imu_queue.append((float(stamp), np.asarray(angular_velocity, dtype=np.float64)))
+        if len(self.imu_queue) > 2000:
+            self.imu_queue = self.imu_queue[-1000:]
+
+    def _imu_rotation_delta(self, stamp: Optional[float]) -> Optional[np.ndarray]:
+        """Integrate queued gyro samples between the previous scan and `stamp`."""
+        if stamp is None or self.last_scan_stamp is None or not self.imu_queue:
+            return None
+        t0, t1 = self.last_scan_stamp, stamp
+        samples = [(t, w) for t, w in self.imu_queue if t0 < t <= t1]
+        if not samples:
+            return None
+        omega = np.zeros(3)
+        prev_t = t0
+        for t, w in samples:
+            omega += w * (t - prev_t)
+            prev_t = t
+        from lidar_graph_slam_tpu.core import se3 as _se3
+        import jax.numpy as _jnp
+
+        R = np.asarray(_se3.so3_exp(_jnp.asarray(omega, dtype=_jnp.float32)))
+        out = np.eye(4, dtype=np.float32)
+        out[:3, :3] = R
+        return out
+
+    def process(self, cloud: PointCloud, stamp: Optional[float] = None) -> dict:
         """Feed one prefiltered scan (sensor frame); returns per-frame odometry outputs."""
         self.n_frames += 1
         if self.n_keyframes == 0:
             # First-scan bootstrap (`lidar_scan_matcher.cpp:133-160`): identity pose,
             # keyframe 0, target := the scan itself.
+            self.last_scan_stamp = stamp
             self._add_keyframe(cloud, self.pose, 0.0)
             return {
                 "pose": self.pose.copy(),
@@ -163,6 +199,14 @@ class ScanMatcher:
             guess = self.pose @ self.last_motion
         else:  # "constant_pose": the reference's model (`lidar_scan_matcher.cpp:165`)
             guess = self.pose
+        imu_delta = self._imu_rotation_delta(stamp)
+        if imu_delta is not None:
+            # Replace the extrapolated rotation with the gyro-integrated one, keeping the
+            # extrapolated translation.
+            imu_guess = guess.copy()
+            imu_guess[:3, :3] = self.pose[:3, :3] @ imu_delta[:3, :3]
+            guess = imu_guess
+        self.last_scan_stamp = stamp
         res = self._register(cloud, jnp.asarray(guess))
         converged = bool(res.converged)
         # Health gate: "converged" with almost no matched points is a silent failure

@@ -71,6 +71,24 @@ def main(argv=None) -> int:
     write_tum_trajectory(os.path.join(args.output, "keyframes_tum.txt"), result.keyframe_poses)
     pipe.save_map(os.path.join(args.output, "map.pcd"), args.map_resolution)
 
+    # Bird's-eye render (the rviz stand-in).
+    from lidar_graph_slam_tpu.utils.viz import render_run
+
+    gt_for_plot = None
+    if gt_all is not None:
+        T0_inv_p = np.linalg.inv(gt_all[0])
+        gt_for_plot = np.stack(
+            [(T0_inv_p @ p).astype(np.float32) for p in gt_all[: result.odometry_poses.shape[0]]]
+        )
+    render_run(
+        os.path.join(args.output, "map.png"),
+        pipe.back.assemble_map(max(args.map_resolution, 0.3)),
+        result.odometry_poses,
+        result.keyframe_poses,
+        loop_pairs=[(l["latest"], l["candidate"]) for l in result.loop_log if l["accepted"]],
+        gt_poses=gt_for_plot,
+    )
+
     summary = {
         "frames": int(result.odometry_poses.shape[0]),
         "keyframes": int(result.keyframe_poses.shape[0]),

@@ -42,8 +42,12 @@ class SlamPipeline:
         self.metrics_writer = MetricsWriter(metrics_path)
         self.cfg = cfg
         cap = cfg.capacity
+        # The voxel stage's output capacity bounds the SOR kNN working set; twice the
+        # final budget is enough headroom (overflow is flagged in telemetry) and keeps the
+        # [Q, 27*bucket] candidate tensors far smaller than sizing by raw_points would.
         self.prefilter = make_prefilter(
-            cfg.prefilter, capacity_out=cap.filtered_points, voxel_capacity=cap.raw_points
+            cfg.prefilter, capacity_out=cap.filtered_points,
+            voxel_capacity=min(cap.raw_points, 2 * cap.filtered_points),
         )
         self.front = ScanMatcher(
             cfg.scan_matcher, scan_capacity=cap.filtered_points,
