@@ -96,6 +96,10 @@ class ScanMatcherConfig:
     """lidar_scan_matcher front end (`param.yaml:1-26`)."""
 
     registration_method: str = "NDT"  # NDT | GICP | ICP (reference: NDT_OMP | FAST_GICP | GICP)
+    # Sensor->base extrinsic (x, y, z, roll, pitch, yaw): the reference resolves this via a
+    # TF lookup with identity fallback (`lidar_scan_matcher.cpp:129-131,252-273`); here it
+    # is explicit config, applied to every scan before registration.
+    extrinsic_xyzrpy: tuple = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
     displacement: float = 1.0         # keyframe trigger [m] (`param.yaml:5`)
     max_scan_accumulate_num: int = 20  # submap window [keyframes] (`param.yaml:6`)
     # Initial-guess model. The reference hardcodes constant-pose (previous pose,

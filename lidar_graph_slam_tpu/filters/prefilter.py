@@ -101,7 +101,10 @@ def make_prefilter(cfg: PrefilterConfig, capacity_out: int, voxel_capacity: int)
             # SOR neighborhood cell: ~10 voxel leaves covers pcl's k=30 neighborhood at
             # typical post-voxel densities while keeping buckets small.
             cell = max(cfg.leaf_size * 10.0, 0.5)
-            msk = statistical_outlier_mask(pts, msk, cfg.mean_k, jnp.float32(cfg.stddev), cell_size=cell)
+            # bucket_cap 16 keeps the [Q, 27*16] candidate tensors modest at full KITTI
+            # capacities while sampling plenty of the k=30 neighborhood.
+            msk = statistical_outlier_mask(pts, msk, cfg.mean_k, jnp.float32(cfg.stddev),
+                                           cell_size=cell, bucket_cap=16)
             pts = pad_points(pts, msk)
 
         if cfg.use_random_sampling:

@@ -97,6 +97,9 @@ class GraphBasedSLAM:
           accumulated-distance gap AND Euclidean gate, keep the nearest.
         mode="radius": the dormant kd-tree variant (`detect_loop_with_kd_tree` `:189-236`)
           — radius search with the same accum-dist gate.
+        mode="accum": the dormant accumulated-distance-only variant
+          (`detect_loop_with_accum_dist` `:157-187`) — nearest keyframe past the
+          accum-dist gap, no Euclidean gate.
         """
         if self.n_keyframes < 2:
             return None
@@ -112,7 +115,7 @@ class GraphBasedSLAM:
             gate &= d < self.cfg.search_for_candidate_threshold
         elif mode == "radius":
             gate &= d < self.cfg.search_radius
-        else:
+        elif mode != "accum":
             raise ValueError(f"unknown loop detection mode {mode!r}")
         if not gate.any():
             return None

@@ -182,6 +182,17 @@ class ScanMatcher:
     def process(self, cloud: PointCloud, stamp: Optional[float] = None) -> dict:
         """Feed one prefiltered scan (sensor frame); returns per-frame odometry outputs."""
         self.n_frames += 1
+        if any(abs(v) > 1e-12 for v in self.cfg.extrinsic_xyzrpy):
+            # Sensor -> base transform (the reference's tf lookup, `:129-131`).
+            x, y, z, roll, pitch, yaw = self.cfg.extrinsic_xyzrpy
+            T = se3.make_transform(
+                se3.so3_exp(jnp.asarray([roll, pitch, yaw], jnp.float32)),
+                jnp.asarray([x, y, z], jnp.float32),
+            )
+            pts = se3.transform_points(T, cloud.points)
+            from lidar_graph_slam_tpu.core.pointcloud import pad_points
+
+            cloud = PointCloud(points=pad_points(pts, cloud.mask), mask=cloud.mask)
         if self.n_keyframes == 0:
             # First-scan bootstrap (`lidar_scan_matcher.cpp:133-160`): identity pose,
             # keyframe 0, target := the scan itself.

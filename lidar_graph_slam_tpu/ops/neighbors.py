@@ -114,6 +114,20 @@ def _candidate_block(grid: HashGrid, queries: jax.Array, offsets: jax.Array, buc
     return cand.reshape(q, -1), valid.reshape(q, -1)
 
 
+def _candidate_dist2(grid: HashGrid, queries: jax.Array, cand_idx, cand_valid):
+    """Squared distances to candidates via per-component gathers.
+
+    Gathering [Q, C*B, 3] directly is a trap on TPU: XLA pads the size-3 trailing dim to
+    a full 128-lane tile (a 29 GB allocation at SOR capacities). Three [Q, C*B] gathers
+    keep every tensor lane-dense.
+    """
+    d2 = jnp.zeros(cand_idx.shape, dtype=grid.points.dtype)
+    for c in range(3):
+        comp = grid.points[:, c][cand_idx]
+        d2 = d2 + (comp - queries[:, c][:, None]) ** 2
+    return jnp.where(cand_valid, d2, jnp.inf)
+
+
 @partial(jax.jit, static_argnames=("k", "bucket_cap"))
 def knn(grid: HashGrid, queries: jax.Array, k: int, bucket_cap: int = 32):
     """k nearest neighbors within the 27-cell neighborhood of each query.
@@ -122,9 +136,7 @@ def knn(grid: HashGrid, queries: jax.Array, k: int, bucket_cap: int = 32):
     (at PAD_VALUE) return all-invalid results naturally.
     """
     cand_idx, cand_valid = _candidate_block(grid, queries, _27_OFFSETS, bucket_cap)
-    cand_pts = grid.points[cand_idx]                                     # [Q, C*B, 3]
-    d2 = jnp.sum((cand_pts - queries[:, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(cand_valid, d2, jnp.inf)
+    d2 = _candidate_dist2(grid, queries, cand_idx, cand_valid)
     neg_top, top_pos = jax.lax.top_k(-d2, k)
     top_d2 = -neg_top
     idx = jnp.take_along_axis(cand_idx, top_pos, axis=1)
@@ -135,9 +147,7 @@ def knn(grid: HashGrid, queries: jax.Array, k: int, bucket_cap: int = 32):
 def nearest(grid: HashGrid, queries: jax.Array, bucket_cap: int = 32):
     """Single nearest neighbor within one cell ring: (idx [Q], dist2 [Q], found [Q])."""
     cand_idx, cand_valid = _candidate_block(grid, queries, _27_OFFSETS, bucket_cap)
-    cand_pts = grid.points[cand_idx]
-    d2 = jnp.sum((cand_pts - queries[:, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(cand_valid, d2, jnp.inf)
+    d2 = _candidate_dist2(grid, queries, cand_idx, cand_valid)
     j = jnp.argmin(d2, axis=1)
     best = jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0]
     idx = jnp.take_along_axis(cand_idx, j[:, None], axis=1)[:, 0]

@@ -84,3 +84,20 @@ def test_add_keyframe_chains_on_optimized_pose():
     poses = back.optimized_poses()
     assert poses.shape == (3, 4, 4)
     np.testing.assert_allclose(poses[2, 0, 3], 2.0, atol=1e-6)
+
+
+def test_accum_mode_ignores_euclidean_gate():
+    back = make_backend(accumulate_distance_threshold=100.0,
+                        search_for_candidate_threshold=5.0, search_radius=10.0)
+    feed_line(back, 110)
+    pose = np.eye(4, dtype=np.float32)
+    pose[1, 3] = 80.0  # far outside both distance gates
+    back.add_keyframe({
+        "pose": pose,
+        "cloud": np.zeros((4, 3), np.float32),
+        "cloud_mask": np.ones(4, bool),
+        "accum_distance": 300.0,
+    })
+    assert back.detect_loop(mode="inline") is None
+    assert back.detect_loop(mode="radius") is None
+    assert back.detect_loop(mode="accum") is not None

@@ -72,3 +72,26 @@ def test_icp_odometry_bounded_drift():
     ate = ate_rmse(est, gt, align=False)
     traveled = np.sum(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1))
     assert ate < max(0.05 * traveled, 0.4), f"ICP ATE {ate:.3f} over {traveled:.1f} m"
+
+
+@pytest.mark.slow
+def test_extrinsic_applied():
+    # A yaw extrinsic on sensor scans must leave the (base-frame) trajectory unchanged:
+    # scans rotated into base cancel the rotation we inject into the raw data.
+    import jax.numpy as jnp
+    from lidar_graph_slam_tpu.core import se3 as se3m
+
+    yaw = 0.4
+    cfg_plain = ScanMatcherConfig()
+    cfg_ext = ScanMatcherConfig(extrinsic_xyzrpy=(0.0, 0.0, 0.0, 0.0, 0.0, yaw))
+    seq = SyntheticSequence(n_frames=8, seed=12, max_points=2048, laps=0.06)
+    scans = [s for s, _ in seq]
+    Rz = np.asarray(se3m.so3_exp(jnp.asarray([0, 0, -yaw], dtype=jnp.float32)))
+
+    sm_a = ScanMatcher(cfg_plain, scan_capacity=2048, map_voxel_capacity=16384)
+    sm_b = ScanMatcher(cfg_ext, scan_capacity=2048, map_voxel_capacity=16384)
+    for s in scans:
+        a = sm_a.process(PointCloud.from_array(s, capacity=2048))
+        # Rotate the raw scan by the inverse extrinsic; the configured extrinsic undoes it.
+        b = sm_b.process(PointCloud.from_array(s @ Rz.T, capacity=2048))
+    np.testing.assert_allclose(a["pose"][:3, 3], b["pose"][:3, 3], atol=0.05)
