@@ -39,28 +39,32 @@ def crop_filter(points: jax.Array, mask: jax.Array, min_xyz, max_xyz) -> jax.Arr
     return mask & inside
 
 
-@partial(jax.jit, static_argnames=("mean_k", "bucket_cap"))
+@partial(jax.jit, static_argnames=("mean_k", "window"))
 def statistical_outlier_mask(
     points: jax.Array,
     mask: jax.Array,
     mean_k: int,
     stddev_mult,
     cell_size=1.0,
-    bucket_cap: int = 32,
+    window: int = 24,
 ) -> jax.Array:
     """pcl::StatisticalOutlierRemoval semantics: mean distance to k nearest neighbors,
     global mean/std over the cloud, drop points above mean + stddev_mult * std.
 
-    Neighbor search is grid-bounded (one cell ring); points whose k-neighborhood is sparse
-    use however many neighbors were found — isolated points (< 2 neighbors in the ring) are
-    treated as outliers outright, which matches SOR's intent for LiDAR stray returns.
+    Neighborhoods come from the sorted-grid sliding window (`window_mean_knn_distance`) —
+    same-cell neighbors are consecutive after the cell-key sort, so the whole filter runs
+    with zero gathers (TPU gathers cost ~1 index per ~8ns; a 27-cell gather search here
+    would be ~100x slower). Points with < 2 window neighbors are outliers outright,
+    matching SOR's intent for isolated LiDAR stray returns.
     """
     grid = neighbors.build_hash_grid(points, mask, cell_size)
-    # k+1 because each point finds itself at distance 0.
-    _, d2, valid = neighbors.knn(grid, points, k=mean_k + 1, bucket_cap=bucket_cap)
-    d = jnp.sqrt(jnp.where(valid, d2, 0.0))
-    n_found = jnp.sum(valid, axis=1) - 1  # exclude self
-    mean_d = jnp.sum(d, axis=1) / jnp.maximum(n_found, 1)
+    mean_d_sorted, n_found_sorted = neighbors.window_mean_knn_distance(
+        grid, k=mean_k, window=window
+    )
+    # Map per-sorted-row stats back to the original row order.
+    n = points.shape[0]
+    mean_d = jnp.zeros((n,), points.dtype).at[grid.order].set(mean_d_sorted)
+    n_found = jnp.zeros((n,), n_found_sorted.dtype).at[grid.order].set(n_found_sorted)
     has_neighbors = n_found >= 2
 
     contributes = mask & has_neighbors
@@ -101,10 +105,8 @@ def make_prefilter(cfg: PrefilterConfig, capacity_out: int, voxel_capacity: int)
             # SOR neighborhood cell: ~10 voxel leaves covers pcl's k=30 neighborhood at
             # typical post-voxel densities while keeping buckets small.
             cell = max(cfg.leaf_size * 10.0, 0.5)
-            # bucket_cap 16 keeps the [Q, 27*16] candidate tensors modest at full KITTI
-            # capacities while sampling plenty of the k=30 neighborhood.
             msk = statistical_outlier_mask(pts, msk, cfg.mean_k, jnp.float32(cfg.stddev),
-                                           cell_size=cell, bucket_cap=16)
+                                           cell_size=cell)
             pts = pad_points(pts, msk)
 
         if cfg.use_random_sampling:

@@ -164,6 +164,9 @@ class NdtVoxelMap:
     leaf: jax.Array        # scalar voxel resolution
     num_voxels: jax.Array  # scalar int32
     table: jax.Array       # [prod(TABLE_DIMS)] int32 dense cell -> voxel row (-1 empty)
+    packed: jax.Array      # [capacity, 16] f32: mean(3) | inv_cov row-major(9) | valid | pad
+                           # one contiguous row-gather feeds the whole align iteration
+                           # (gather cost on TPU scales with index count, not bytes/row)
 
 
 def _eigh3x3(A: jax.Array):
@@ -238,15 +241,21 @@ def build_ndt_map(
     _, inv_covs = regularize_covariance(cov_safe)
 
     keys_out = jnp.where(occupied, seg_keys, INVALID_KEY)
+    means_out = pad_points(means, occupied)
+    packed = jnp.zeros((capacity, 16), dtype=points.dtype)
+    packed = packed.at[:, 0:3].set(means_out)
+    packed = packed.at[:, 3:12].set(inv_covs.reshape(capacity, 9))
+    packed = packed.at[:, 12].set(valid.astype(points.dtype))
     return NdtVoxelMap(
         keys=keys_out,
-        means=pad_points(means, occupied),
+        means=means_out,
         inv_covs=inv_covs,
         valid=valid,
         origin=origin,
         leaf=jnp.asarray(resolution, dtype=points.dtype),
         num_voxels=num_voxels,
         table=build_dense_table(keys_out, valid, TABLE_DIMS),
+        packed=packed,
     )
 
 
@@ -264,10 +273,17 @@ def lookup_direct7(vmap: NdtVoxelMap, query_points: jax.Array):
     Returns (means [Q, 7, 3], inv_covs [Q, 7, 3, 3], found [Q, 7]). One dense-table gather
     per (query, neighbor) — no binary search on the registration hot loop.
     """
+    q = query_points.shape[0]
     coords = voxel_coords(query_points, vmap.origin, 1.0 / vmap.leaf)  # [Q, 3]
     ncoords = coords[:, None, :] + DIRECT7_OFFSETS[None, :, :]         # [Q, 7, 3]
     flat, in_range = _flat_table_index(ncoords, TABLE_DIMS)
-    idx = jnp.concatenate([vmap.table, jnp.full((1,), -1, jnp.int32)])[flat]  # [Q, 7]
-    hit = (idx >= 0) & in_range
+    idx = jnp.concatenate([vmap.table, jnp.full((1,), -1, jnp.int32)])[flat.reshape(-1)]
+    hit = (idx >= 0) & in_range.reshape(-1)
     idx = jnp.maximum(idx, 0)
-    return vmap.means[idx], vmap.inv_covs[idx], hit
+    # One contiguous row-gather for mean+inv_cov+valid (index count, not row width,
+    # dominates TPU gather cost).
+    rows = vmap.packed[idx]                                            # [Q*7, 16]
+    means = rows[:, 0:3].reshape(q, 7, 3)
+    icovs = rows[:, 3:12].reshape(q, 7, 3, 3)
+    hit = (hit & (rows[:, 12] > 0.5)).reshape(q, 7)
+    return means, icovs, hit

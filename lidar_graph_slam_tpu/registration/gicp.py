@@ -21,7 +21,12 @@ import jax.numpy as jnp
 from flax import struct
 
 from lidar_graph_slam_tpu.core import se3
-from lidar_graph_slam_tpu.ops.neighbors import HashGrid, build_hash_grid, knn, nearest
+from lidar_graph_slam_tpu.ops.neighbors import (
+    HashGrid,
+    build_hash_grid,
+    nearest,
+    window_covariances,
+)
 from lidar_graph_slam_tpu.ops import pallas_kernels
 from lidar_graph_slam_tpu.registration.base import RegistrationResult, solve_damped
 
@@ -53,28 +58,34 @@ def _inv3x3(A: jax.Array) -> jax.Array:
     return adj * inv_det[..., None, None]
 
 
-@partial(jax.jit, static_argnames=("k", "bucket_cap"))
+@partial(jax.jit, static_argnames=("k", "window"))
 def estimate_covariances(
-    points: jax.Array, mask: jax.Array, cell_size, k: int = 20, bucket_cap: int = 32
+    points: jax.Array, mask: jax.Array, cell_size, k: int = 20, window: int = 16
 ):
-    """fast_gicp 'PLANE'-regularized covariances: kNN scatter matrix with eigenvalues
-    snapped to (1, 1, 1e-3). Returns (covs [N,3,3], valid [N])."""
-    grid = build_hash_grid(points, mask, cell_size)
-    idx, d2, nvalid = knn(grid, points, k=k, bucket_cap=bucket_cap)
-    neigh = grid.points[idx]                                  # [N, k, 3]
-    w = nvalid.astype(points.dtype)
-    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
-    mu = jnp.sum(neigh * w[..., None], axis=1) / cnt[:, None]
-    d = (neigh - mu[:, None, :]) * w[..., None]
-    cov = jnp.einsum("nki,nkj->nij", d, d) / cnt[:, None, None]
+    """fast_gicp 'PLANE'-regularized covariances with eigenvalues snapped to (1, 1, 1e-3).
 
-    ok = mask & (jnp.sum(nvalid, axis=1) >= 5)
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=points.dtype), cov.shape)
-    cov_safe = jnp.where(ok[:, None, None], cov, eye)
+    The scatter matrix comes from the sorted-grid sliding window (same-cell neighbors are
+    consecutive after the key sort — zero gathers) rather than an exact k-NN set; the
+    eigenvalue regularization erases the difference (only the principal directions
+    survive). `k` is kept for interface parity with fast_gicp's correspondence_randomness.
+    Returns (covs [N, 3, 3] in the ORIGINAL row order, valid [N])."""
+    del k
+    grid = build_hash_grid(points, mask, cell_size)
+    mu_s, cov_s, cnt_s = window_covariances(grid, window=window)
+
+    ok_s = cnt_s >= 5.0
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=points.dtype), cov_s.shape)
+    cov_safe = jnp.where(ok_s[:, None, None], cov_s, eye)
     wvals, V = jnp.linalg.eigh(cov_safe)
     target = jnp.array([1e-3, 1.0, 1.0], dtype=points.dtype)  # ascending eigenvalue order
     cov_reg = (V * target[None, None, :]) @ jnp.swapaxes(V, -1, -2)
-    return jnp.where(ok[:, None, None], cov_reg, eye), ok
+    cov_reg = jnp.where(ok_s[:, None, None], cov_reg, eye)
+
+    # Back to original row order.
+    n = points.shape[0]
+    covs = jnp.zeros((n, 3, 3), points.dtype).at[grid.order].set(cov_reg)
+    ok = jnp.zeros((n,), bool).at[grid.order].set(ok_s)
+    return covs, ok & mask
 
 
 @struct.dataclass
@@ -86,10 +97,10 @@ class GicpTarget:
     valid: jax.Array  # [N]
 
 
-def build_gicp_target(points, mask, cell_size, k: int = 20, bucket_cap: int = 32) -> GicpTarget:
+def build_gicp_target(points, mask, cell_size, k: int = 20) -> GicpTarget:
     grid = build_hash_grid(points, mask, cell_size)
     sorted_mask = grid.keys != jnp.iinfo(jnp.int32).max
-    covs, ok = estimate_covariances(grid.points, sorted_mask, cell_size, k=k, bucket_cap=bucket_cap)
+    covs, ok = estimate_covariances(grid.points, sorted_mask, cell_size, k=k)
     return GicpTarget(grid=grid, covs=covs, valid=ok)
 
 

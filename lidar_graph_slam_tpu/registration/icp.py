@@ -44,7 +44,7 @@ def _umeyama_step(src: jax.Array, dst: jax.Array, w: jax.Array):
     return R, t
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "bucket_cap"))
+@partial(jax.jit, static_argnames=("max_iterations", "bucket_cap", "neighborhood"))
 def icp_align(
     target_grid: HashGrid,
     source_points: jax.Array,
@@ -54,6 +54,7 @@ def icp_align(
     max_iterations: int = 50,
     transform_epsilon: float = 1e-6,
     bucket_cap: int = 32,
+    neighborhood: int = 27,
 ) -> RegistrationResult:
     """Align masked source points to a pre-built target grid. Returns source->target.
 
@@ -65,7 +66,8 @@ def icp_align(
     def body(carry):
         T, done, iters, _f, _n = carry
         p = se3.transform_points(T, source_points)
-        idx, d2, found = nearest(target_grid, p, bucket_cap=bucket_cap)
+        idx, d2, found = nearest(target_grid, p, bucket_cap=bucket_cap,
+                                 neighborhood=neighborhood)
         matched = found & source_mask & (d2 < corr2)
         w = matched.astype(p.dtype)
         q = target_grid.points[idx]

@@ -41,7 +41,7 @@ def test_statistical_outlier_removal(rng):
     cloud = PointCloud.from_array(pts, capacity=512)
     keep = prefilter.statistical_outlier_mask(
         cloud.points, cloud.mask, mean_k=20, stddev_mult=jnp.float32(1.0), cell_size=5.0,
-        bucket_cap=128,
+        window=64,
     )
     keep_np = np.asarray(keep)
     assert not keep_np[500]           # stray dropped
