@@ -105,7 +105,13 @@ class ScanMatcherConfig:
     # Initial-guess model. The reference hardcodes constant-pose (previous pose,
     # `lidar_scan_matcher.cpp:165`); constant-velocity extrapolation is strictly more
     # robust at high per-frame motion and is our default. Set "constant_pose" for parity.
-    initial_guess: str = "constant_velocity"
+    # "constant_pose" is the reference's model (`lidar_scan_matcher.cpp:165`) and the
+    # STABLE one: a velocity extrapolation doubles pose error into the next guess, and in
+    # near-null directions of the registration score (along-track on feature-poor
+    # geometry) the solver cannot remove it -> closed-loop gain ~2/frame amplifies any
+    # perturbation exponentially. "constant_velocity" remains available for slow-motion /
+    # high-overlap regimes where the wider effective basin matters more.
+    initial_guess: str = "constant_pose"
     # Health gate (no reference counterpart — its only guard is hasConverged,
     # `lidar_scan_matcher.cpp:167-170`): a solver that reports convergence with fewer
     # than this fraction of source points matched is treated as a failed frame.
@@ -140,6 +146,11 @@ class PipelineConfig:
     capacity: CapacityConfig = field(default_factory=CapacityConfig)
     enable_loop_closure: bool = True
     dtype: str = "float32"
+    # Fused front end: prefilter + align + keyframing + submap rebuild as ONE device
+    # program with lagged host readback (odometry/fused.py). Numerically identical to the
+    # classic per-stage driver; hides host<->device latency entirely. False falls back to
+    # the stage-by-stage ScanMatcher driver (finer-grained per-stage timings).
+    fused_frontend: bool = True
 
 
 # --- loading / overrides ----------------------------------------------------------------

@@ -59,6 +59,11 @@ class GraphBasedSLAM:
         self.kf_clouds: list[np.ndarray] = []       # [n_i, 3] sensor-frame clouds
         self.kf_accum_dist: list[float] = []
         self.kf_front_poses: list[np.ndarray] = []  # front-end (odometry) poses
+        # Host mirror of the optimized poses. Between optimizations the device poses only
+        # change by appends this class itself computes, so every non-loop frame runs with
+        # ZERO device reads; the mirror is refreshed with one batched device_get after each
+        # optimize() call.
+        self._poses_host: list[np.ndarray] = []
         self.loop_log: list[dict] = []
         self.n_keyframes = 0
         self._frames_since_loop_check = 0
@@ -77,7 +82,7 @@ class GraphBasedSLAM:
             # Chain the measurement onto the *optimized* previous pose for the estimate:
             # matches iSAM2's behavior of initializing new keys from composed odometry
             # (`graph_based_slam.cpp:365-371`).
-            prev_opt = np.asarray(self.graph.poses[self.n_keyframes - 1])
+            prev_opt = self._poses_host[self.n_keyframes - 1]
             pose = (prev_opt @ odom).astype(np.float32)
         self.graph = solver.graph_add_keyframe(
             self.graph, jnp.asarray(pose), jnp.asarray(odom)
@@ -86,6 +91,7 @@ class GraphBasedSLAM:
         self.kf_clouds.append(cloud.astype(np.float32))
         self.kf_accum_dist.append(float(kf["accum_distance"]))
         self.kf_front_poses.append(np.asarray(kf["pose"], dtype=np.float32))
+        self._poses_host.append(pose)
         self.n_keyframes += 1
 
     # -- loop detection (§3.4 gates) ----------------------------------------------------
@@ -104,7 +110,7 @@ class GraphBasedSLAM:
         if self.n_keyframes < 2:
             return None
         latest = self.n_keyframes - 1
-        positions = np.asarray(self.graph.poses[: self.n_keyframes, :3, 3])
+        positions = np.stack([T[:3, 3] for T in self._poses_host])
         cur_pos = positions[latest]
         cur_accum = self.kf_accum_dist[latest]
         accum = np.asarray(self.kf_accum_dist[: self.n_keyframes])
@@ -128,7 +134,7 @@ class GraphBasedSLAM:
         (`graph_based_slam.cpp:297-309`)."""
         lo = max(0, center - half_window)
         hi = min(self.n_keyframes, center + half_window + 1)
-        poses = np.asarray(self.graph.poses[lo:hi])
+        poses = self._poses_host[lo:hi]
         chunks = []
         for k, T in zip(range(lo, hi), poses):
             pts = self.kf_clouds[k]
@@ -151,7 +157,7 @@ class GraphBasedSLAM:
         )
 
         # Latest keyframe cloud in the map frame under the current estimate (`:246-252`).
-        T_latest = np.asarray(self.graph.poses[latest])
+        T_latest = self._poses_host[latest]
         src = self.kf_clouds[latest] @ T_latest[:3, :3].T + T_latest[:3, 3]
         src_cloud = PointCloud.from_array(src, capacity=self.capacity.keyframe_points)
 
@@ -175,8 +181,11 @@ class GraphBasedSLAM:
             transform_epsilon=max(self.cfg.icp.transform_epsilon, 1e-7),
             bucket_cap=16, neighborhood=7,
         )
-        fitness = float(res.fitness)
-        converged = bool(res.converged)
+        icp_T, fitness_f, converged_b = jax.device_get(
+            (res.transform, res.fitness, res.converged)
+        )
+        fitness = float(fitness_f)
+        converged = bool(converged_b)
         record = {
             "latest": latest,
             "candidate": cand,
@@ -191,14 +200,19 @@ class GraphBasedSLAM:
         # Loop factor: corrected latest pose vs candidate pose (`:330-341`).
         # icp transform maps current-map-frame latest cloud onto the candidate submap,
         # so the corrected latest pose is icp_T @ T_latest.
-        T_corrected = np.asarray(res.transform) @ T_latest
-        T_cand = np.asarray(self.graph.poses[cand])
+        T_corrected = np.asarray(icp_T) @ T_latest
+        T_cand = self._poses_host[cand]
         Z = jnp.asarray(np.linalg.inv(T_corrected) @ T_cand)  # between(latest, cand)
         info = jnp.full((6,), 1.0 / max(fitness, 1e-6), dtype=jnp.float32)
         self.graph = solver.graph_add_loop(
             self.graph, jnp.asarray(latest), jnp.asarray(cand), Z, info
         )
         self.graph = solver.optimize(self.graph, max_iterations=15)
+        # Refresh the host pose mirror with one batched read (the reference's deferred
+        # `adjust_pose`, `graph_based_slam.cpp:417-432`).
+        self._poses_host = list(
+            np.asarray(jax.device_get(self.graph.poses[: self.n_keyframes]))
+        )
         self.is_loop_closed = True
         record["accepted"] = True
         return True
@@ -215,7 +229,9 @@ class GraphBasedSLAM:
     # -- outputs (§3.3 publish paths + §3.5 save map) -----------------------------------
 
     def optimized_poses(self) -> np.ndarray:
-        return np.asarray(self.graph.poses[: self.n_keyframes])
+        if self.n_keyframes == 0:
+            return np.zeros((0, 4, 4), dtype=np.float32)
+        return np.stack(self._poses_host).astype(np.float32)
 
     def assemble_map(self, resolution: float = 0.0, max_points: Optional[int] = None) -> np.ndarray:
         """All keyframe clouds under optimized poses; optional voxel filter at `resolution`

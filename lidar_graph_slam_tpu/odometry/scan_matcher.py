@@ -106,6 +106,7 @@ class ScanMatcher:
         self.target = None
         self.keyframe_log: list[dict] = []  # host-side keyframe record for the back end
 
+        self._assemble_and_build = None
         if self.method == "NDT":
             self._build_target, self._align = ndt.make_ndt_matcher(cfg.ndt, map_voxel_capacity)
         elif self.method == "GICP":
@@ -118,8 +119,14 @@ class ScanMatcher:
     # -- internal jit-side helpers ------------------------------------------------------
 
     def _rebuild_target(self):
-        pts, mask = assemble_submap(self.ring)
-        self.target = self._build_target(pts, mask)
+        # One jitted program per keyframe: ring -> map-frame submap -> registration target.
+        # Keeping assembly and target build fused avoids a string of small dispatches (and
+        # their per-call host latency, which dominates on a tunneled accelerator).
+        if self._assemble_and_build is None:
+            self._assemble_and_build = jax.jit(
+                lambda ring: self._build_target(*assemble_submap(ring))
+            )
+        self.target = self._assemble_and_build(self.ring)
 
     def _register(self, cloud: PointCloud, init_T):
         if self.method == "GICP":
@@ -134,13 +141,14 @@ class ScanMatcher:
         slot = jnp.asarray(self.n_keyframes % self.cfg.max_scan_accumulate_num, jnp.int32)
         self.ring = ring_insert(self.ring, slot, cloud.points, cloud.mask, jnp.asarray(pose))
         self.accum_distance += float(delta)
+        pts_host, mask_host = jax.device_get((cloud.points, cloud.mask))
         self.keyframe_log.append(
             {
                 "id": self.n_keyframes,
                 "pose": pose.copy(),
                 "accum_distance": self.accum_distance,
-                "cloud": np.asarray(cloud.points),
-                "cloud_mask": np.asarray(cloud.mask),
+                "cloud": pts_host,
+                "cloud_mask": mask_host,
                 "frame_index": self.n_frames - 1,  # n_frames is incremented before keyframing
             }
         )
@@ -219,12 +227,18 @@ class ScanMatcher:
             guess = imu_guess
         self.last_scan_stamp = stamp
         res = self._register(cloud, jnp.asarray(guess))
-        converged = bool(res.converged)
+        # ONE batched device->host read per frame: on a tunneled accelerator every separate
+        # scalar sync costs a full round trip, which dwarfs the align kernel itself.
+        transform, res_converged, fitness_f, iters_i, inliers_i, n_valid_i = jax.device_get(
+            (res.transform, res.converged, res.fitness, res.iterations, res.num_inliers,
+             cloud.mask.sum())
+        )
+        converged = bool(res_converged)
         # Health gate: "converged" with almost no matched points is a silent failure
         # (e.g. the scan left the submap's basin); treat like non-convergence.
-        n_valid = max(int(np.asarray(cloud.mask).sum()), 1)
+        n_valid = max(int(n_valid_i), 1)
         denom = n_valid * 7 if self.method == "NDT" else n_valid
-        if converged and int(res.num_inliers) < self.cfg.min_inlier_fraction * denom:
+        if converged and int(inliers_i) < self.cfg.min_inlier_fraction * denom:
             converged = False
         if not converged:
             # Reference drops the frame and keeps the previous pose (`:167-170`).
@@ -232,11 +246,11 @@ class ScanMatcher:
                 "pose": self.pose.copy(),
                 "is_keyframe": False,
                 "converged": False,
-                "fitness": float(res.fitness),
-                "iterations": int(res.iterations),
+                "fitness": float(fitness_f),
+                "iterations": int(iters_i),
             }
 
-        new_pose = np.asarray(res.transform)
+        new_pose = np.asarray(transform)
         self.last_motion = (np.linalg.inv(self.pose) @ new_pose).astype(np.float32)
         self.pose = new_pose
         delta = float(np.linalg.norm(self.pose[:3, 3] - self.last_kf_pose[:3, 3]))
@@ -247,6 +261,6 @@ class ScanMatcher:
             "pose": self.pose.copy(),
             "is_keyframe": is_keyframe,
             "converged": True,
-            "fitness": float(res.fitness),
-            "iterations": int(res.iterations),
+            "fitness": float(fitness_f),
+            "iterations": int(iters_i),
         }

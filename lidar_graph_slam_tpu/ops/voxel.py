@@ -127,18 +127,28 @@ def voxel_downsample(points: jax.Array, mask: jax.Array, leaf: jax.Array, capaci
     seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1  # -1 for rows before the first segment
     seg_id = jnp.where(valid_sorted, seg_id, capacity)  # invalid rows dropped by segment_sum
 
+    # Voxel-local accumulation (see build_ndt_map): centroid sums of raw world coordinates
+    # lose precision once |x| >> leaf and become reassociation-sensitive; local offsets are
+    # bounded by the leaf.
+    row_coords = jnp.stack(unpack_key(jnp.where(valid_sorted, keys_sorted, 0)), axis=-1)
+    row_corner = origin + row_coords.astype(points.dtype) * leaf
     sums = jax.ops.segment_sum(
-        jnp.where(valid_sorted[:, None], pts_sorted, 0.0), seg_id, num_segments=capacity + 1,
-        indices_are_sorted=True,
+        jnp.where(valid_sorted[:, None], pts_sorted - row_corner, 0.0), seg_id,
+        num_segments=capacity + 1, indices_are_sorted=True,
     )[:capacity]
     counts = jax.ops.segment_sum(
         valid_sorted.astype(jnp.float32), seg_id, num_segments=capacity + 1,
         indices_are_sorted=True,
     )[:capacity]
+    seg_keys = jax.ops.segment_max(
+        jnp.where(valid_sorted, keys_sorted, jnp.int32(0)), seg_id, num_segments=capacity + 1,
+        indices_are_sorted=True,
+    )[:capacity]
 
     num_voxels = jnp.sum(first.astype(jnp.int32))
     out_mask = jnp.arange(capacity) < jnp.minimum(num_voxels, capacity)
-    centroids = sums / jnp.maximum(counts, 1.0)[:, None]
+    seg_corner = origin + jnp.stack(unpack_key(seg_keys), axis=-1).astype(points.dtype) * leaf
+    centroids = seg_corner + sums / jnp.maximum(counts, 1.0)[:, None]
     return VoxelGrid(
         points=pad_points(centroids, out_mask),
         mask=out_mask,
@@ -214,10 +224,19 @@ def build_ndt_map(
     seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1
     seg_id = jnp.where(valid_sorted, seg_id, capacity)
 
-    pts_masked = jnp.where(valid_sorted[:, None], pts_sorted, 0.0)
-    sums = jax.ops.segment_sum(pts_masked, seg_id, num_segments=capacity + 1, indices_are_sorted=True)[:capacity]
+    # Accumulate moments in VOXEL-LOCAL coordinates (point minus its voxel's corner).
+    # In world coordinates E[x x^T] - mu mu^T cancels catastrophically in float32 once
+    # |x| >> leaf (at KITTI scale |x| ~ 1e2-1e3 m vs covariances ~ 1e-2 m^2): the result
+    # becomes sensitive to summation order, i.e. to how XLA happens to fuse this program.
+    # Local coordinates are bounded by the leaf, so every accumulated term is O(leaf^2)
+    # and the subtraction is benign regardless of fusion/reassociation.
+    row_coords = jnp.stack(unpack_key(jnp.where(valid_sorted, keys_sorted, 0)), axis=-1)
+    row_corner = origin + row_coords.astype(points.dtype) * resolution
+    local_sorted = pts_sorted - row_corner
+    loc_masked = jnp.where(valid_sorted[:, None], local_sorted, 0.0)
+    sums = jax.ops.segment_sum(loc_masked, seg_id, num_segments=capacity + 1, indices_are_sorted=True)[:capacity]
     counts = jax.ops.segment_sum(valid_sorted.astype(jnp.float32), seg_id, num_segments=capacity + 1, indices_are_sorted=True)[:capacity]
-    outer = pts_masked[:, :, None] * pts_masked[:, None, :]
+    outer = loc_masked[:, :, None] * loc_masked[:, None, :]
     outer_sums = jax.ops.segment_sum(
         outer.reshape(-1, 9), seg_id, num_segments=capacity + 1, indices_are_sorted=True
     )[:capacity].reshape(capacity, 3, 3)
@@ -229,11 +248,14 @@ def build_ndt_map(
     num_voxels = jnp.sum(first.astype(jnp.int32))
     occupied = jnp.arange(capacity) < jnp.minimum(num_voxels, capacity)
     cnt = jnp.maximum(counts, 1.0)[:, None]
-    means = sums / cnt
-    # Unbiased-ish sample covariance (ndt_omp divides by n-1).
-    cov = (outer_sums - cnt[..., None] * means[:, :, None] * means[:, None, :]) / jnp.maximum(
-        counts - 1.0, 1.0
-    )[:, None, None]
+    means_local = sums / cnt
+    seg_corner = origin + jnp.stack(unpack_key(seg_keys), axis=-1).astype(points.dtype) * resolution
+    means = seg_corner + means_local
+    # Unbiased-ish sample covariance (ndt_omp divides by n-1); translation-invariant, so
+    # local moments give it exactly.
+    cov = (
+        outer_sums - cnt[..., None] * means_local[:, :, None] * means_local[:, None, :]
+    ) / jnp.maximum(counts - 1.0, 1.0)[:, None, None]
     valid = occupied & (counts >= min_points)
     # Only regularize valid voxels; others get identity to keep eigh well-posed.
     eye = jnp.broadcast_to(jnp.eye(3, dtype=cov.dtype), cov.shape)

@@ -2,15 +2,24 @@
 
 Replaces the reference's three-process ROS 2 launch graph (`lidar_graph_slam/launch/
 lidar_graph_slam.launch.xml:6-14` wiring points_prefiltering -> lidar_scan_matcher ->
-graph_based_slam over DDS topics) with single-process function composition per host:
-prefilter (jit) -> scan matcher (jit stages) -> back end (jit factor graph). The DDS topic
-surface becomes the returned `PipelineResult`; per-stage wall-clock metrics are collected
-first-class (the observability the reference lacked, SURVEY.md §5.1).
+graph_based_slam over DDS topics) with single-process function composition per host. Two
+front-end drivers:
+
+  * fused (default): the whole per-frame tick is ONE device program
+    (`odometry/fused.py`) and the host reads frame t's outputs AFTER dispatching frame
+    t+1, so the host<->device round trip (the dominant cost on a tunneled accelerator)
+    overlaps device compute. Keyframe payloads stream back via async host copies.
+  * classic: stage-by-stage (prefilter / register / backend) with synchronous reads —
+    finer per-stage timing attribution, same math.
+
+The DDS topic surface becomes the returned `PipelineResult`; per-stage wall-clock metrics
+are collected first-class (the observability the reference lacked, SURVEY.md §5.1).
 """
 
 from __future__ import annotations
 
 import time
+from collections import deque
 from dataclasses import dataclass, field
 from typing import Iterable, Optional
 
@@ -18,9 +27,7 @@ import numpy as np
 
 from lidar_graph_slam_tpu.core.config import PipelineConfig
 from lidar_graph_slam_tpu.core.pointcloud import PointCloud
-from lidar_graph_slam_tpu.filters.prefilter import make_prefilter
 from lidar_graph_slam_tpu.graph.slam import GraphBasedSLAM
-from lidar_graph_slam_tpu.odometry.scan_matcher import ScanMatcher
 
 
 @dataclass
@@ -42,32 +49,157 @@ class SlamPipeline:
         self.metrics_writer = MetricsWriter(metrics_path)
         self.cfg = cfg
         cap = cfg.capacity
-        # The voxel stage's output capacity bounds the SOR kNN working set; twice the
-        # final budget is enough headroom (overflow is flagged in telemetry) and keeps the
-        # [Q, 27*bucket] candidate tensors far smaller than sizing by raw_points would.
-        self.prefilter = make_prefilter(
-            cfg.prefilter, capacity_out=cap.filtered_points,
-            voxel_capacity=min(cap.raw_points, 2 * cap.filtered_points),
-        )
-        self.front = ScanMatcher(
-            cfg.scan_matcher, scan_capacity=cap.filtered_points,
-            map_voxel_capacity=cap.voxel_capacity,
-        )
         self.back = GraphBasedSLAM(cfg.graph_slam, cap)
-        self._kf_consumed = 0
         self.timings: dict[str, list] = {"prefilter": [], "register": [], "backend": []}
         self.odometry_poses: list[np.ndarray] = []
         self.kf_frame_indices: list[int] = []
+        self.fused = cfg.fused_frontend
 
-    def process_scan(self, scan: np.ndarray) -> dict:
-        """Feed one raw sensor-frame scan [n, 3]."""
+        if self.fused:
+            import jax.numpy as jnp
+
+            from lidar_graph_slam_tpu.odometry.fused import make_fused_frontend
+
+            init_state, self._step, aux = make_fused_frontend(cfg.scan_matcher, cfg.prefilter, cap)
+            self._state = init_state()
+            self._ring = aux["init_ring"]()
+            self._rebuild = aux["rebuild"]
+            self._window = aux["window"]
+            self._target = self._rebuild(self._ring)  # empty map; frame 0 bootstraps
+            self._pending: deque = deque()  # (frame_idx, wall_t0, FrameOut)
+            self._eye3 = jnp.eye(3, dtype=jnp.float32)
+            self._false = jnp.asarray(False)
+            self._last_out: dict = {}
+            self.front = None
+        else:
+            from lidar_graph_slam_tpu.filters.prefilter import make_prefilter
+            from lidar_graph_slam_tpu.odometry.scan_matcher import ScanMatcher
+
+            # The voxel stage's output capacity bounds the SOR kNN working set; twice the
+            # final budget is enough headroom (overflow is flagged in telemetry) and keeps
+            # the [Q, 27*bucket] candidate tensors far smaller than sizing by raw_points.
+            self.prefilter = make_prefilter(
+                cfg.prefilter, capacity_out=cap.filtered_points,
+                voxel_capacity=min(cap.raw_points, 2 * cap.filtered_points),
+            )
+            self.front = ScanMatcher(
+                cfg.scan_matcher, scan_capacity=cap.filtered_points,
+                map_voxel_capacity=cap.voxel_capacity,
+            )
+            self._kf_consumed = 0
+
+    # -- fused driver -------------------------------------------------------------------
+
+    def _consume_fused(self, item) -> dict:
+        """Read one pending frame's outputs (one batched transfer) and run the back end."""
+        import jax
+
+        frame_idx, t0, out = item
+        t1 = time.perf_counter()
+        pose, converged, is_kf, fitness, iters, kf_id, accum = jax.device_get(
+            (out.pose, out.converged, out.is_keyframe, out.fitness, out.iterations,
+             out.keyframe_id, out.accum_distance)
+        )
+        t2 = time.perf_counter()
+        pose = np.asarray(pose)
+        info = {
+            "pose": pose,
+            "is_keyframe": bool(is_kf),
+            "converged": bool(converged),
+            "fitness": float(fitness),
+            "iterations": int(iters),
+        }
+        if info["is_keyframe"]:
+            # Insert into the device-side submap ring and rebuild the registration target
+            # — the SAME jitted programs the classic driver uses (see odometry/fused.py on
+            # why this stays outside the fused step). The rebuilt target takes effect at
+            # the next dispatched frame (one-frame submap lag, verified benign).
+            from lidar_graph_slam_tpu.odometry.scan_matcher import ring_insert
+            import jax.numpy as jnp
+
+            slot = jnp.asarray(int(kf_id) % self._window, jnp.int32)
+            self._ring = ring_insert(self._ring, slot, out.kf_cloud, out.kf_mask, out.pose)
+            self._target = self._rebuild(self._ring)
+            cloud, mask = jax.device_get((out.kf_cloud, out.kf_mask))
+            self.back.add_keyframe(
+                {
+                    "id": int(kf_id),
+                    "pose": pose,
+                    "accum_distance": float(accum),
+                    "cloud": np.asarray(cloud),
+                    "cloud_mask": np.asarray(mask),
+                    "frame_index": frame_idx,
+                }
+            )
+            self.kf_frame_indices.append(frame_idx)
+        if self.cfg.enable_loop_closure:
+            self.back.on_frame()
+        t3 = time.perf_counter()
+
+        self.odometry_poses.append(pose)
+        self.timings["register"].append(t2 - t1)
+        self.timings["backend"].append(t3 - t2)
+        self.metrics_writer.emit(
+            {
+                "frame": frame_idx,
+                "converged": info["converged"],
+                "fitness": info["fitness"],
+                "iterations": info["iterations"],
+                "is_keyframe": info["is_keyframe"],
+                "n_keyframes": self.back.n_keyframes,
+                "loops_accepted": sum(1 for l in self.back.loop_log if l["accepted"]),
+                "register_ms": 1000 * (t2 - t1),
+                "backend_ms": 1000 * (t3 - t2),
+            }
+        )
+        self._last_out = info
+        return info
+
+    def _process_fused(self, scan: np.ndarray, stamp: Optional[float]) -> dict:
+        t0 = time.perf_counter()
+        frame_idx = len(self.odometry_poses) + len(self._pending)
+        raw = PointCloud.from_array(scan, capacity=self.cfg.capacity.raw_points)
+        self._state, out = self._step(
+            self._state, raw.points, raw.mask, self._target, self._eye3, self._false
+        )
+        # Start the keyframe payload's host copy now; if this frame turns out to be a
+        # keyframe the back end reads it (nearly) for free.
+        try:
+            out.kf_cloud.copy_to_host_async()
+            out.kf_mask.copy_to_host_async()
+        except AttributeError:  # older jax Array without the method
+            pass
+        t1 = time.perf_counter()
+        self.timings["prefilter"].append(t1 - t0)  # host pad + upload + dispatch
+        self._pending.append((frame_idx, t0, out))
+        if frame_idx == 0:
+            # Bootstrap frame: consume immediately so keyframe 0 lands in the ring and the
+            # target is real before frame 1 dispatches (reference `:133-160` semantics).
+            return self._consume_fused(self._pending.popleft())
+        # Lagged readback: keep exactly one frame in flight.
+        if len(self._pending) > 1:
+            return self._consume_fused(self._pending.popleft())
+        return dict(self._last_out) if self._last_out else {
+            "pose": np.eye(4, dtype=np.float32), "is_keyframe": False,
+            "converged": True, "fitness": 0.0, "iterations": 0,
+        }
+
+    def flush(self) -> None:
+        """Drain in-flight frames (fused mode)."""
+        if self.fused:
+            while self._pending:
+                self._consume_fused(self._pending.popleft())
+
+    # -- classic driver -----------------------------------------------------------------
+
+    def _process_classic(self, scan: np.ndarray, stamp: Optional[float]) -> dict:
         t0 = time.perf_counter()
         raw = PointCloud.from_array(scan, capacity=self.cfg.capacity.raw_points)
         filtered = self.prefilter(raw.points, raw.mask)
         filtered.points.block_until_ready()
         t1 = time.perf_counter()
 
-        out = self.front.process(filtered)
+        out = self.front.process(filtered, stamp=stamp)
         t2 = time.perf_counter()
 
         # Ship any new keyframes to the back end (the /key_frame topic, now a queue).
@@ -100,16 +232,26 @@ class SlamPipeline:
         )
         return out
 
+    # -- public API ---------------------------------------------------------------------
+
+    def process_scan(self, scan: np.ndarray, stamp: Optional[float] = None) -> dict:
+        """Feed one raw sensor-frame scan [n, 3]. In fused mode the returned dict
+        describes the PREVIOUS frame (one frame of readback lag); call flush() to drain."""
+        if self.fused:
+            return self._process_fused(scan, stamp)
+        return self._process_classic(scan, stamp)
+
     def run(self, scans: Iterable, progress_every: int = 0) -> PipelineResult:
         for i, item in enumerate(scans):
             scan = item[0] if isinstance(item, tuple) else item
             self.process_scan(np.asarray(scan))
             if progress_every and (i + 1) % progress_every == 0:
-                print(f"[tpu-slam] frame {i + 1}, keyframes={self.front.n_keyframes}, "
+                print(f"[tpu-slam] frame {i + 1}, keyframes={self.back.n_keyframes}, "
                       f"loops={sum(1 for l in self.back.loop_log if l['accepted'])}")
         return self.result()
 
     def result(self) -> PipelineResult:
+        self.flush()
         metrics = {
             name: {
                 "mean_ms": 1000 * float(np.mean(ts)) if ts else 0.0,
@@ -128,4 +270,5 @@ class SlamPipeline:
         )
 
     def save_map(self, path: str, resolution: float = 0.0) -> bool:
+        self.flush()
         return self.back.save_map(path, resolution)

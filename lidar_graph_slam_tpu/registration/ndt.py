@@ -48,7 +48,7 @@ def magnusson_constants(resolution: float, outlier_ratio: float):
     return d1, d2
 
 
-@partial(jax.jit, static_argnames=("max_iterations",))
+@partial(jax.jit, static_argnames=("max_iterations", "polish_iterations"))
 def ndt_align(
     vmap: NdtVoxelMap,
     source_points: jax.Array,
@@ -58,6 +58,7 @@ def ndt_align(
     transform_epsilon: float = 0.01,
     outlier_ratio: float = 0.55,
     max_iterations: int = 64,
+    polish_iterations: int = 2,
 ) -> RegistrationResult:
     """Align a masked source cloud to an NDT voxel map. Returns source->map transform."""
     d1, d2 = magnusson_constants(vmap.leaf, outlier_ratio)
@@ -120,6 +121,18 @@ def ndt_align(
         jnp.asarray(0, jnp.int32),
     )
     T, done, iters, fitness, inliers = jax.lax.while_loop(cond, body, init)
+    # Polish: a few UNCONDITIONAL Gauss-Newton iterations after the early exit. The
+    # while_loop's output is quantized by the last step's size (anything below
+    # `transform_epsilon` stops it), so an FP-level input difference that flips the
+    # iteration count shifts the result by O(epsilon) — enough, fed back through the
+    # odometry loop's constant-velocity extrapolation, to destabilize the pipeline at
+    # marginal operating points. Two extra contractions drive the output to the basin
+    # optimum regardless of where the while stopped, making the result a function of
+    # (target, scan) alone rather than of the initial guess's rounding history.
+    carry = (T, done, iters, fitness, inliers)
+    for _ in range(polish_iterations):
+        carry = body(carry)
+    T, _, _, fitness, inliers = carry
     return RegistrationResult(
         transform=T, converged=done, iterations=iters, fitness=fitness, num_inliers=inliers
     )

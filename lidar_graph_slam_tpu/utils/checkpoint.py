@@ -20,7 +20,7 @@ from lidar_graph_slam_tpu.pipeline.runner import SlamPipeline
 
 
 def save_pipeline(pipe: SlamPipeline, path: str) -> None:
-    front = pipe.front
+    pipe.flush()  # drain in-flight frames (fused driver)
     back = pipe.back
     g = back.graph
     n_kf = back.n_keyframes
@@ -56,7 +56,29 @@ def save_pipeline(pipe: SlamPipeline, path: str) -> None:
         kf_front_poses=(np.stack(back.kf_front_poses) if n_kf else np.zeros((0, 4, 4), np.float32)),
         kf_frame_indices=np.asarray(pipe.kf_frame_indices, np.int64),
         loop_log=np.frombuffer(json.dumps(back.loop_log).encode(), dtype=np.uint8),
-        # front end
+        # front end (both drivers serialize the same logical state)
+        **_front_state_arrays(pipe),
+        odometry_poses=(np.stack(pipe.odometry_poses) if pipe.odometry_poses else np.zeros((0, 4, 4), np.float32)),
+    )
+
+
+def _front_state_arrays(pipe: SlamPipeline) -> dict:
+    if pipe.fused:
+        st, ring = pipe._state, pipe._ring
+        return dict(
+            front_pose=np.asarray(st.pose),
+            front_last_motion=np.asarray(st.last_motion),
+            front_last_kf_pose=np.asarray(st.last_kf_pose),
+            front_accum=np.asarray(st.accum_distance),
+            front_n_keyframes=np.asarray(st.n_keyframes),
+            front_n_frames=len(pipe.odometry_poses),
+            ring_clouds=np.asarray(ring.clouds),
+            ring_masks=np.asarray(ring.masks),
+            ring_poses=np.asarray(ring.poses),
+            ring_used=np.asarray(ring.used),
+        )
+    front = pipe.front
+    return dict(
         front_pose=front.pose,
         front_last_motion=front.last_motion,
         front_last_kf_pose=front.last_kf_pose,
@@ -67,7 +89,6 @@ def save_pipeline(pipe: SlamPipeline, path: str) -> None:
         ring_masks=np.asarray(front.ring.masks),
         ring_poses=np.asarray(front.ring.poses),
         ring_used=np.asarray(front.ring.used),
-        odometry_poses=(np.stack(pipe.odometry_poses) if pipe.odometry_poses else np.zeros((0, 4, 4), np.float32)),
     )
 
 
@@ -100,26 +121,41 @@ def load_pipeline(path: str) -> SlamPipeline:
     back.n_keyframes = int(z["graph_num_poses"])
     back.is_loop_closed = any(l.get("accepted") for l in back.loop_log)
 
+    # Back end's host pose mirror (fast path: zero device reads per frame).
+    back._poses_host = [np.asarray(p, np.float32) for p in z["graph_poses"][: back.n_keyframes]]
+
     # Front end.
-    front = pipe.front
-    front.pose = z["front_pose"]
-    front.last_motion = z["front_last_motion"]
-    front.last_kf_pose = z["front_last_kf_pose"]
-    front.accum_distance = float(z["front_accum"])
-    front.n_keyframes = int(z["front_n_keyframes"])
-    front.n_frames = int(z["front_n_frames"])
-    front.ring = front.ring.replace(
+    ring_arrays = dict(
         clouds=jnp.asarray(z["ring_clouds"]),
         masks=jnp.asarray(z["ring_masks"]),
         poses=jnp.asarray(z["ring_poses"]),
         used=jnp.asarray(z["ring_used"]),
     )
-    if front.n_keyframes > 0:
-        front._rebuild_target()
-    # Historical keyframes live in the back end; the front-end log restarts empty, so the
-    # runner's consumption cursor restarts at 0 alongside it.
-    front.keyframe_log = []
-    pipe._kf_consumed = 0
+    if pipe.fused:
+        pipe._state = pipe._state.replace(
+            pose=jnp.asarray(z["front_pose"]),
+            last_motion=jnp.asarray(z["front_last_motion"]),
+            last_kf_pose=jnp.asarray(z["front_last_kf_pose"]),
+            accum_distance=jnp.asarray(z["front_accum"], jnp.float32),
+            n_keyframes=jnp.asarray(int(z["front_n_keyframes"]), jnp.int32),
+        )
+        pipe._ring = pipe._ring.replace(**ring_arrays)
+        pipe._target = pipe._rebuild(pipe._ring)
+    else:
+        front = pipe.front
+        front.pose = z["front_pose"]
+        front.last_motion = z["front_last_motion"]
+        front.last_kf_pose = z["front_last_kf_pose"]
+        front.accum_distance = float(z["front_accum"])
+        front.n_keyframes = int(z["front_n_keyframes"])
+        front.n_frames = int(z["front_n_frames"])
+        front.ring = front.ring.replace(**ring_arrays)
+        if front.n_keyframes > 0:
+            front._rebuild_target()
+        # Historical keyframes live in the back end; the front-end log restarts empty, so
+        # the runner's consumption cursor restarts at 0 alongside it.
+        front.keyframe_log = []
+        pipe._kf_consumed = 0
     pipe.kf_frame_indices = [int(v) for v in z["kf_frame_indices"]]
     pipe.odometry_poses = [p for p in z["odometry_poses"]]
     return pipe

@@ -1,4 +1,12 @@
-"""Checkpoint/resume: a resumed pipeline must continue exactly like the original."""
+"""Checkpoint/resume: a resumed pipeline must continue like the original.
+
+With the classic (synchronous) driver, resume is EXACT. With the fused driver, the one-
+frame submap lag collapses at the checkpoint boundary (flush() drains in-flight frames and
+rebuilds the target), so the resumed trajectory may differ by a bounded, damped amount —
+asserted small, and the keyframe schedule must match.
+"""
+
+from dataclasses import replace
 
 import numpy as np
 import pytest
@@ -9,20 +17,17 @@ from lidar_graph_slam_tpu.utils import checkpoint
 from tests.test_pipeline import small_config
 
 
-@pytest.mark.slow
-def test_checkpoint_exact_resume(tmp_path):
+def _resume_run(cfg, tmp_path):
     n = 24
     seq = SyntheticSequence(n_frames=n, seed=6, max_points=4096, laps=0.25)
     scans = [s for s, _ in seq]
 
-    # Continuous run.
-    pipe_a = SlamPipeline(small_config())
+    pipe_a = SlamPipeline(cfg)
     for s in scans:
         pipe_a.process_scan(s)
     res_a = pipe_a.result()
 
-    # Run half, checkpoint, resume, run the rest.
-    pipe_b = SlamPipeline(small_config())
+    pipe_b = SlamPipeline(cfg)
     for s in scans[: n // 2]:
         pipe_b.process_scan(s)
     ckpt = str(tmp_path / "state.npz")
@@ -30,8 +35,13 @@ def test_checkpoint_exact_resume(tmp_path):
     pipe_c = checkpoint.load_pipeline(ckpt)
     for s in scans[n // 2:]:
         pipe_c.process_scan(s)
-    res_c = pipe_c.result()
+    return res_a, pipe_c.result()
 
+
+@pytest.mark.slow
+def test_checkpoint_exact_resume(tmp_path):
+    cfg = replace(small_config(), fused_frontend=False)
+    res_a, res_c = _resume_run(cfg, tmp_path)
     assert res_c.odometry_poses.shape == res_a.odometry_poses.shape
     np.testing.assert_allclose(
         res_c.odometry_poses, res_a.odometry_poses, atol=1e-4,
@@ -43,10 +53,23 @@ def test_checkpoint_exact_resume(tmp_path):
 
 
 @pytest.mark.slow
+def test_checkpoint_resume_fused(tmp_path):
+    cfg = replace(small_config(), fused_frontend=True)
+    res_a, res_c = _resume_run(cfg, tmp_path)
+    assert res_c.odometry_poses.shape == res_a.odometry_poses.shape
+    # Bounded difference from the lag collapse at the checkpoint cut; must stay small
+    # (the odometry loop damps perturbations) and the keyframe schedule must agree.
+    np.testing.assert_allclose(res_c.odometry_poses, res_a.odometry_poses, atol=5e-2)
+    np.testing.assert_array_equal(res_c.keyframe_frame_indices, res_a.keyframe_frame_indices)
+
+
+@pytest.mark.slow
 def test_checkpoint_preserves_config(tmp_path):
     from lidar_graph_slam_tpu.core.config import apply_cli_overrides
 
-    cfg = apply_cli_overrides(small_config(), ["scan_matcher.displacement=2.5"])
+    cfg = apply_cli_overrides(
+        replace(small_config(), fused_frontend=False), ["scan_matcher.displacement=2.5"]
+    )
     pipe = SlamPipeline(cfg)
     seq = SyntheticSequence(n_frames=6, seed=7, max_points=4096, laps=0.1)
     for s, _ in seq:
