@@ -68,6 +68,10 @@ class NdtConfig:
     # voxel map widens the convergence basin beyond ndt_omp's. 0 disables.
     coarse_resolution: float = 4.0
     coarse_iterations: int = 16
+    # Source-point stride for the coarse stage. A 4 m voxel map is insensitive to point
+    # density, so seeding the fine basin from every 4th point buys ~4x on the coarse
+    # stage's gather+accumulate cost at no accuracy cost (the fine stage sees all points).
+    coarse_subsample: int = 4
 
 
 @dataclass(frozen=True)

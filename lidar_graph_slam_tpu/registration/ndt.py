@@ -158,16 +158,22 @@ def make_ndt_matcher(cfg: NdtConfig, map_capacity: int):
     def align(target_map, points, mask, init_T):
         if use_pyramid:
             coarse, fine = target_map
-            # Coarse stage: larger step bound, loose epsilon — just reach the fine basin.
+            # Coarse stage: larger step bound, strided source subsample, no polish —
+            # it only has to land inside the fine stage's convergence basin, and a
+            # 2x-coarser voxel map is insensitive to source density. This keeps the
+            # pyramid's robustness while paying ~1/subsample of its per-iteration
+            # gather+accumulate cost.
+            stride = max(int(cfg.coarse_subsample), 1)
             pre = ndt_align(
                 coarse,
-                points,
-                mask,
+                points[::stride],
+                mask[::stride],
                 init_T,
                 step_size=cfg.step_size * 4.0,
                 transform_epsilon=cfg.transform_epsilon,
                 outlier_ratio=cfg.outlier_ratio,
                 max_iterations=cfg.coarse_iterations,
+                polish_iterations=0,
             )
             init_T = pre.transform
         else:
