@@ -101,8 +101,13 @@ def icp_align(
         jnp.asarray(0, jnp.int32),
     )
     T, done, iters, fitness, n_inl = jax.lax.while_loop(cond, body, init)
+    # PCL parity: `hasConverged()` is true whenever DefaultConvergenceCriteria stopped the
+    # loop — epsilon OR max-iterations (the latter is not a failure state by default,
+    # `graph_based_slam.cpp:320-328` relies on the fitness gate to reject bad loops). We
+    # additionally require a valid final solve (>=3 inliers, finite transform).
+    converged = (done | (iters >= max_iterations)) & (n_inl >= 3) & jnp.isfinite(T).all()
     return RegistrationResult(
-        transform=T, converged=done, iterations=iters, fitness=fitness, num_inliers=n_inl
+        transform=T, converged=converged, iterations=iters, fitness=fitness, num_inliers=n_inl
     )
 
 
