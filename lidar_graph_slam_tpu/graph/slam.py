@@ -71,8 +71,9 @@ class GraphBasedSLAM:
 
     # -- keyframe insertion (§3.3) ------------------------------------------------------
 
-    def add_keyframe(self, kf: dict) -> None:
-        """Insert a front-end keyframe record ({pose, cloud, cloud_mask, accum_distance})."""
+    def add_keyframe(self, kf) -> None:
+        """Insert a front-end keyframe record (`core.msgs.KeyFrame` or an equivalent
+        mapping with pose, cloud, cloud_mask, accum_distance)."""
         pose = np.asarray(kf["pose"], dtype=np.float32)
         if self.n_keyframes == 0:
             odom = np.eye(4, dtype=np.float32)

@@ -31,6 +31,7 @@ from flax import struct
 
 from lidar_graph_slam_tpu.core import se3
 from lidar_graph_slam_tpu.core.config import ScanMatcherConfig
+from lidar_graph_slam_tpu.core.msgs import KeyFrame
 from lidar_graph_slam_tpu.core.pointcloud import PAD_VALUE, PointCloud
 from lidar_graph_slam_tpu.ops.voxel import build_ndt_map
 from lidar_graph_slam_tpu.ops.neighbors import build_hash_grid
@@ -104,7 +105,7 @@ class ScanMatcher:
         self.n_keyframes = 0
         self.n_frames = 0
         self.target = None
-        self.keyframe_log: list[dict] = []  # host-side keyframe record for the back end
+        self.keyframe_log: list[KeyFrame] = []  # host-side keyframe records for the back end
 
         self._assemble_and_build = None
         if self.method == "NDT":
@@ -143,14 +144,15 @@ class ScanMatcher:
         self.accum_distance += float(delta)
         pts_host, mask_host = jax.device_get((cloud.points, cloud.mask))
         self.keyframe_log.append(
-            {
-                "id": self.n_keyframes,
-                "pose": pose.copy(),
-                "accum_distance": self.accum_distance,
-                "cloud": pts_host,
-                "cloud_mask": mask_host,
-                "frame_index": self.n_frames - 1,  # n_frames is incremented before keyframing
-            }
+            KeyFrame(
+                id=self.n_keyframes,
+                pose=pose.copy(),
+                accum_distance=self.accum_distance,
+                cloud=pts_host,
+                cloud_mask=mask_host,
+                frame_index=self.n_frames - 1,  # n_frames is incremented before keyframing
+                stamp=self.last_scan_stamp,
+            )
         )
         self.n_keyframes += 1
         self.last_kf_pose = pose.copy()

@@ -121,15 +121,17 @@ class SlamPipeline:
             self._ring = ring_insert(self._ring, slot, out.kf_cloud, out.kf_mask, out.pose)
             self._target = self._rebuild(self._ring)
             cloud, mask = jax.device_get((out.kf_cloud, out.kf_mask))
+            from lidar_graph_slam_tpu.core.msgs import KeyFrame
+
             self.back.add_keyframe(
-                {
-                    "id": int(kf_id),
-                    "pose": pose,
-                    "accum_distance": float(accum),
-                    "cloud": np.asarray(cloud),
-                    "cloud_mask": np.asarray(mask),
-                    "frame_index": frame_idx,
-                }
+                KeyFrame(
+                    id=int(kf_id),
+                    pose=pose,
+                    accum_distance=float(accum),
+                    cloud=np.asarray(cloud),
+                    cloud_mask=np.asarray(mask),
+                    frame_index=frame_idx,
+                )
             )
             self.kf_frame_indices.append(frame_idx)
         if self.cfg.enable_loop_closure:
