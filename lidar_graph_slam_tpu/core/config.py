@@ -135,9 +135,17 @@ class GraphSlamConfig:
     score_threshold: float = 0.3            # ICP fitness accept gate (`param.yaml:6`)
     search_for_candidate_threshold: float = 15.0  # euclid gate [m] (`param.yaml:7`)
     accumulate_distance_threshold: float = 100.0  # accum-dist gate [m] (`param.yaml:8`)
-    registration_method: str = "ICP"        # loop verifier (`param.yaml:9`)
+    # Loop verifier (`param.yaml:9`; factory `graph_based_slam.cpp:77-155`). The reference
+    # offers ICP (default) | FAST_GICP | GICP | NDT_OMP; here the two GICP variants collapse
+    # into one solver, so the choices are ICP | GICP | NDT.
+    registration_method: str = "ICP"
     loop_submap_leaf: float = 0.5           # voxel leaf for loop submap (`cpp:61,311-313`)
     icp: IcpConfig = field(default_factory=IcpConfig)
+    # Verifier knobs for the non-default methods (`graph_based_slam.cpp:82-119`). NDT runs
+    # single-level here — the loop pipeline has its own fixed coarse pre-align stage.
+    ndt: NdtConfig = field(default_factory=lambda: NdtConfig(
+        resolution=2.0, max_iterations=32, coarse_resolution=0.0))
+    gicp: GicpConfig = field(default_factory=GicpConfig)
     # Prior/odometry noise sigma^2 = [1e-6 x3 (rot), 1e-8, 1e-8, 1e-6 (trans)] (`cpp:67-69`).
     odom_noise_var: tuple = (1e-6, 1e-6, 1e-6, 1e-8, 1e-8, 1e-6)
 

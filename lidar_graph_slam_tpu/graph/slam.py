@@ -53,6 +53,9 @@ class GraphBasedSLAM:
     def __init__(self, cfg: GraphSlamConfig, capacity: CapacityConfig):
         self.cfg = cfg
         self.capacity = capacity
+        self.method = cfg.registration_method.upper()
+        if self.method not in ("ICP", "GICP", "NDT"):
+            raise ValueError(f"unknown loop registration_method {cfg.registration_method!r}")
         self.graph = solver.init_graph(
             capacity.max_keyframes, capacity.max_loop_factors, cfg.odom_noise_var
         )
@@ -171,19 +174,56 @@ class GraphBasedSLAM:
             ndt_map, src_cloud.points, src_cloud.mask, jnp.eye(4),
             step_size=0.4, max_iterations=16,
         )
-        # Stage 2: ICP refine + fitness (the decision quantity, `:320-328`).
+        # Stage 2: refine with the configured verifier (`get_registration` factory,
+        # `graph_based_slam.cpp:77-155`; default ICP per `param.yaml:9`). The decision
+        # quantity is always the PCL-style fitness score (`:320-328`), computed uniformly
+        # by `fitness_score` so the 0.3 gate means the same thing for every method.
         grid = build_hash_grid(filtered.points, filtered.mask, 2.0)
-        # After the coarse pre-align correspondences sit within ~a cell, so the 7-cell
-        # neighborhood suffices (4x fewer gather indices than the 27-cell search).
-        res = icp_mod.icp_align(
-            grid, src_cloud.points, src_cloud.mask, pre.transform,
-            max_correspondence_distance=2.0,
-            max_iterations=self.cfg.icp.max_iterations,
-            transform_epsilon=max(self.cfg.icp.transform_epsilon, 1e-7),
+        if self.method == "ICP":
+            # After the coarse pre-align correspondences sit within ~a cell, so the 7-cell
+            # neighborhood suffices (4x fewer gather indices than the 27-cell search).
+            res = icp_mod.icp_align(
+                grid, src_cloud.points, src_cloud.mask, pre.transform,
+                max_correspondence_distance=2.0,
+                max_iterations=self.cfg.icp.max_iterations,
+                transform_epsilon=max(self.cfg.icp.transform_epsilon, 1e-7),
+                bucket_cap=16, neighborhood=7,
+            )
+        elif self.method == "GICP":
+            from lidar_graph_slam_tpu.registration import gicp as gicp_mod
+
+            cell = self.cfg.gicp.max_correspondence_distance
+            tgt = gicp_mod.build_gicp_target(
+                filtered.points, filtered.mask, cell, k=self.cfg.gicp.correspondence_randomness
+            )
+            src_covs, _ = gicp_mod.estimate_covariances(
+                src_cloud.points, src_cloud.mask, cell,
+                k=self.cfg.gicp.correspondence_randomness,
+            )
+            res = gicp_mod.gicp_align(
+                tgt, src_cloud.points, src_cloud.mask, pre.transform, src_covs,
+                max_correspondence_distance=cell,
+                transform_epsilon=max(self.cfg.gicp.transform_epsilon, 1e-7),
+                max_iterations=self.cfg.gicp.max_iterations,
+            )
+        else:  # NDT
+            nmap = build_ndt_map(
+                filtered.points, filtered.mask, jnp.float32(self.cfg.ndt.resolution),
+                capacity=self.capacity.voxel_capacity // 4,
+            )
+            res = ndt_mod.ndt_align(
+                nmap, src_cloud.points, src_cloud.mask, pre.transform,
+                step_size=self.cfg.ndt.step_size,
+                transform_epsilon=self.cfg.ndt.transform_epsilon,
+                outlier_ratio=self.cfg.ndt.outlier_ratio,
+                max_iterations=self.cfg.ndt.max_iterations,
+            )
+        score = icp_mod.fitness_score(
+            grid, src_cloud.points, src_cloud.mask, res.transform, max_range=2.0,
             bucket_cap=16, neighborhood=7,
         )
         icp_T, fitness_f, converged_b = jax.device_get(
-            (res.transform, res.fitness, res.converged)
+            (res.transform, score, res.converged)
         )
         fitness = float(fitness_f)
         converged = bool(converged_b)
@@ -193,6 +233,7 @@ class GraphBasedSLAM:
             "fitness": fitness,
             "converged": converged,
             "accepted": False,
+            "transform": np.asarray(icp_T),  # verifier's map-frame correction
         }
         self.loop_log.append(record)
         if not converged or fitness >= self.cfg.score_threshold:

@@ -111,6 +111,29 @@ def icp_align(
     )
 
 
+@partial(jax.jit, static_argnames=("bucket_cap", "neighborhood"))
+def fitness_score(
+    target_grid: HashGrid,
+    points: jax.Array,
+    mask: jax.Array,
+    transform: jax.Array,
+    max_range: float,
+    bucket_cap: int = 16,
+    neighborhood: int = 27,
+) -> jax.Array:
+    """PCL `Registration::getFitnessScore` parity: mean squared NN distance between the
+    transformed source and the target, capped at max_range^2 per point. The reference gates
+    loop acceptance on this quantity for EVERY verifier method (`graph_based_slam.cpp:328`)
+    and scales the loop factor's noise with it (`:335-339`), so it is computed uniformly
+    here rather than from each solver's internal residual."""
+    p = se3.transform_points(transform, points)
+    _, d2, found = nearest(target_grid, p, bucket_cap=bucket_cap, neighborhood=neighborhood)
+    pen = jnp.asarray(max_range * max_range, p.dtype)
+    per_pt = jnp.where(found, jnp.minimum(d2, pen), pen)
+    nvalid = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sum(jnp.where(mask, per_pt, 0.0)) / nvalid
+
+
 def make_icp_matcher(cfg, cell_size: float = 2.0):
     """Matcher closures (build_target, align) mirroring the PCL interface usage."""
 

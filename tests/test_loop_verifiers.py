@@ -1,0 +1,84 @@
+"""Loop-closure verifier factory: ICP / GICP / NDT refine stages (`get_registration`,
+`graph_based_slam.cpp:77-155`) must each verify a true loop and correct the drifted pose."""
+
+import numpy as np
+import pytest
+
+from lidar_graph_slam_tpu.core.config import (
+    CapacityConfig,
+    GraphSlamConfig,
+    IcpConfig,
+)
+from lidar_graph_slam_tpu.graph.slam import GraphBasedSLAM
+from lidar_graph_slam_tpu.io.synthetic import make_loop_trajectory, make_world, simulate_scan
+
+
+def build_loop_backend(method: str):
+    cfg = GraphSlamConfig(
+        registration_method=method,
+        accumulate_distance_threshold=100.0,
+        search_for_candidate_threshold=15.0,
+        icp=IcpConfig(max_iterations=40),
+    )
+    cap = CapacityConfig(
+        max_keyframes=64, max_loop_factors=8, keyframe_points=4096,
+        loop_submap_points=65536, voxel_capacity=32768,
+    )
+    back = GraphBasedSLAM(cfg, cap)
+
+    rng = np.random.default_rng(7)
+    world = make_world(rng, extent=40.0, density=2.0)
+    n_kf = 31
+    traj = make_loop_trajectory(n_kf, radius=20.0, laps=1.02)  # ~128 m circumference
+    accum = 0.0
+    prev = traj[0]
+    # Drifted latest pose: the loop verifier must recover this offset.
+    err = np.eye(4, dtype=np.float32)
+    yaw = 0.03
+    err[:2, :2] = [[np.cos(yaw), -np.sin(yaw)], [np.sin(yaw), np.cos(yaw)]]
+    err[0, 3] = 0.6
+    err[1, 3] = -0.4
+    for k in range(n_kf):
+        true_pose = traj[k]
+        accum += float(np.linalg.norm(true_pose[:3, 3] - prev[:3, 3])) if k else 0.0
+        prev = true_pose
+        scan = simulate_scan(world, true_pose, rng, max_points=4096, noise=0.01)
+        reported = true_pose if k < n_kf - 1 else (true_pose @ err).astype(np.float32)
+        back.add_keyframe({
+            "pose": reported.astype(np.float32),
+            "cloud": scan,
+            "cloud_mask": np.ones(scan.shape[0], bool),
+            "accum_distance": accum if k < n_kf - 1 else accum + 110.0,
+        })
+    return back, traj[-1]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("method", ["ICP", "GICP", "NDT"])
+def test_verifier_closes_and_corrects(method):
+    back, true_last = build_loop_backend(method)
+    drifted = back.optimized_poses()[-1]
+    drift_before = np.linalg.norm(drifted[:3, 3] - true_last[:3, 3])
+    assert drift_before > 0.5  # the injected error is visible pre-closure
+
+    assert back.try_close_loop(), f"{method}: loop not accepted ({back.loop_log})"
+    rec = back.loop_log[-1]
+    assert rec["accepted"] and rec["fitness"] < back.cfg.score_threshold
+
+    # The verifier's measured correction must recover the injected drift: the corrected
+    # latest pose (`icp_T @ T_latest`, `graph_based_slam.cpp:330-334`) lands near truth.
+    corrected = rec["transform"] @ drifted
+    assert np.linalg.norm(corrected[:3, 3] - true_last[:3, 3]) < 0.2, method
+
+    # Global adjustment moves the estimate toward truth (the amount is bounded by the
+    # reference's noise model: 30 tight odometry factors vs one fitness-weighted loop).
+    drift_after = np.linalg.norm(back.optimized_poses()[-1][:3, 3] - true_last[:3, 3])
+    assert drift_after < drift_before - 0.1, (
+        f"{method}: drift {drift_before:.3f} -> {drift_after:.3f}"
+    )
+
+
+def test_unknown_method_rejected():
+    cfg = GraphSlamConfig(registration_method="VGICP")
+    with pytest.raises(ValueError):
+        GraphBasedSLAM(cfg, CapacityConfig())
