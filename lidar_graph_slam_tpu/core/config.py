@@ -125,6 +125,20 @@ class ScanMatcherConfig:
 
 
 @dataclass(frozen=True)
+class GlobalRegConfig:
+    """FPFH + vectorized-RANSAC global registration (registration/features.py) — the
+    reference's own roadmap TODO ("Scan Matching with FPFH", `README.md:33-39`)."""
+
+    keypoint_leaf: float = 1.0       # voxel leaf for keypoint extraction [m]
+    normal_k: int = 16               # kNN for normal estimation
+    fpfh_k: int = 32                 # kNN for SPFH/FPFH neighborhoods
+    hypotheses: int = 2048           # RANSAC hypotheses (3-point + 1-point-yaw families)
+    inlier_threshold: float = 1.0    # correspondence refine distance [m]
+    min_occupancy: float = 0.5       # acceptance: fraction of src keypoints in occupied cells
+    max_keypoints: int = 8192        # static keypoint capacity per cloud
+
+
+@dataclass(frozen=True)
 class GraphSlamConfig:
     """graph_based_slam back end (`param.yaml:1-29`, `graph_based_slam.cpp:27-155`)."""
 
@@ -148,6 +162,10 @@ class GraphSlamConfig:
     gicp: GicpConfig = field(default_factory=GicpConfig)
     # Prior/odometry noise sigma^2 = [1e-6 x3 (rot), 1e-8, 1e-8, 1e-6 (trans)] (`cpp:67-69`).
     odom_noise_var: tuple = (1e-6, 1e-6, 1e-6, 1e-8, 1e-8, 1e-6)
+    # FPFH+RANSAC initial guess for loop verification (no reference counterpart — it uses
+    # an identity guess at `graph_based_slam.cpp:318`, capped by the verifier's basin).
+    use_global_init: bool = False
+    global_reg: GlobalRegConfig = field(default_factory=GlobalRegConfig)
 
 
 @dataclass(frozen=True)

@@ -165,13 +165,31 @@ class GraphBasedSLAM:
         src = self.kf_clouds[latest] @ T_latest[:3, :3].T + T_latest[:3, 3]
         src_cloud = PointCloud.from_array(src, capacity=self.capacity.keyframe_points)
 
+        # Stage 0 (optional): FPFH+RANSAC global initial guess — recovers candidates with
+        # drift far outside any local verifier's basin (the reference has no counterpart;
+        # its identity guess at `:318` relies on a 30 m correspondence distance).
+        guess = jnp.eye(4)
+        if self.cfg.use_global_init:
+            from lidar_graph_slam_tpu.registration.features import global_register
+
+            gr = self.cfg.global_reg
+            T_g, _, g_ok = global_register(
+                src_cloud.points, src_cloud.mask, filtered.points, filtered.mask,
+                keypoint_leaf=gr.keypoint_leaf, normal_k=gr.normal_k, fpfh_k=gr.fpfh_k,
+                hypotheses=gr.hypotheses, inlier_threshold=gr.inlier_threshold,
+                min_occupancy=gr.min_occupancy, max_keypoints=gr.max_keypoints,
+                src_viewpoint=T_latest[:3, 3],
+                tgt_viewpoint=self._poses_host[cand][:3, 3],
+            )
+            guess = jnp.where(g_ok, T_g, guess)
+
         # Stage 1: coarse NDT pre-align (identity guess, as the reference's ICP `:318`).
         ndt_map = build_ndt_map(
             filtered.points, filtered.mask, jnp.float32(4.0),
             capacity=self.capacity.voxel_capacity // 4,
         )
         pre = ndt_mod.ndt_align(
-            ndt_map, src_cloud.points, src_cloud.mask, jnp.eye(4),
+            ndt_map, src_cloud.points, src_cloud.mask, guess,
             step_size=0.4, max_iterations=16,
         )
         # Stage 2: refine with the configured verifier (`get_registration` factory,

@@ -13,12 +13,14 @@ from lidar_graph_slam_tpu.graph.slam import GraphBasedSLAM
 from lidar_graph_slam_tpu.io.synthetic import make_loop_trajectory, make_world, simulate_scan
 
 
-def build_loop_backend(method: str):
+def build_loop_backend(method: str, err_yaw: float = 0.03, err_xy=(0.6, -0.4),
+                       use_global_init: bool = False):
     cfg = GraphSlamConfig(
         registration_method=method,
         accumulate_distance_threshold=100.0,
         search_for_candidate_threshold=15.0,
         icp=IcpConfig(max_iterations=40),
+        use_global_init=use_global_init,
     )
     cap = CapacityConfig(
         max_keyframes=64, max_loop_factors=8, keyframe_points=4096,
@@ -34,10 +36,10 @@ def build_loop_backend(method: str):
     prev = traj[0]
     # Drifted latest pose: the loop verifier must recover this offset.
     err = np.eye(4, dtype=np.float32)
-    yaw = 0.03
+    yaw = err_yaw
     err[:2, :2] = [[np.cos(yaw), -np.sin(yaw)], [np.sin(yaw), np.cos(yaw)]]
-    err[0, 3] = 0.6
-    err[1, 3] = -0.4
+    err[0, 3] = err_xy[0]
+    err[1, 3] = err_xy[1]
     for k in range(n_kf):
         true_pose = traj[k]
         accum += float(np.linalg.norm(true_pose[:3, 3] - prev[:3, 3])) if k else 0.0
@@ -82,3 +84,23 @@ def test_unknown_method_rejected():
     cfg = GraphSlamConfig(registration_method="VGICP")
     with pytest.raises(ValueError):
         GraphBasedSLAM(cfg, CapacityConfig())
+
+
+@pytest.mark.slow
+def test_global_init_recovers_large_drift():
+    """With ~5.8 m / 23 deg of drift the coarse-NDT + ICP stages alone lose the loop; the
+    FPFH+RANSAC stage (`GraphSlamConfig.use_global_init`) restores it."""
+    big = dict(err_yaw=0.4, err_xy=(4.0, -4.2))
+    back_plain, _ = build_loop_backend("ICP", **big)
+    back_glob, true_last = build_loop_backend("ICP", use_global_init=True, **big)
+
+    closed_plain = back_plain.try_close_loop()
+    closed_glob = back_glob.try_close_loop()
+    assert closed_glob, f"global-init verification failed ({back_glob.loop_log})"
+    rec = back_glob.loop_log[-1]
+    drifted = np.asarray(back_plain.optimized_poses()[-1])
+    corrected = rec["transform"] @ drifted
+    assert np.linalg.norm(corrected[:3, 3] - true_last[:3, 3]) < 0.3
+    # The identity-guess path is expected to miss this loop; if it ever starts passing,
+    # tighten the drift so this test keeps demonstrating the capability gap.
+    assert not closed_plain or rec["fitness"] <= back_plain.loop_log[-1]["fitness"]
