@@ -30,7 +30,8 @@ class CapacityConfig:
     raw_points: int = 131072        # max points per raw scan
     filtered_points: int = 32768    # after prefiltering
     keyframe_points: int = 16384    # stored per keyframe
-    submap_points: int = 131072     # accumulated odometry target submap
+    # (The odometry target submap needs no capacity knob: the device ring is exactly
+    # max_scan_accumulate_num x filtered_points by construction, odometry/scan_matcher.py.)
     loop_submap_points: int = 131072  # loop-closure candidate submap
     max_keyframes: int = 4096       # graph capacity
     voxel_capacity: int = 65536     # max occupied voxels in a voxel-grid build
@@ -82,12 +83,20 @@ class GicpConfig:
     correspondence_randomness: int = 20   # k for covariance estimation (`:43,48`)
     max_correspondence_distance: float = 2.0  # (`:51`)
     transform_epsilon: float = 0.01
-    use_reciprocal: bool = False          # (`:84-85,90`)
+    # PCL setUseReciprocalCorrespondences (`:84-85,90`): keep (p->q) only when q's NN
+    # among the transformed source points is p. Implemented via a backward query against
+    # a static source-frame grid (registration/gicp.py).
+    use_reciprocal: bool = False
 
 
 @dataclass(frozen=True)
 class IcpConfig:
-    """PCL ICP as hardcoded for loop verification (`graph_based_slam.cpp:142-151`)."""
+    """PCL ICP as hardcoded for loop verification (`graph_based_slam.cpp:142-151`).
+
+    max_correspondence_distance feeds the verifier's NN grid, capped at 2 m (the NDT
+    pre-align stage replaces the reference's 30 m wide-net search — graph/slam.py
+    documents the cap); values below 2 m are honored exactly.
+    euclidean_fitness_epsilon is PCL's absolute-MSE convergence stop (`cpp:148`)."""
 
     max_correspondence_distance: float = 30.0
     max_iterations: int = 100
@@ -127,7 +136,13 @@ class ScanMatcherConfig:
 @dataclass(frozen=True)
 class GlobalRegConfig:
     """FPFH + vectorized-RANSAC global registration (registration/features.py) — the
-    reference's own roadmap TODO ("Scan Matching with FPFH", `README.md:33-39`)."""
+    reference's own roadmap TODO ("Scan Matching with FPFH", `README.md:33-39`).
+
+    Known approximation: submap normals are oriented toward the single candidate-pose
+    viewpoint, so surfaces observed from the far side of a large (±20 keyframe) submap
+    can get sign-flipped normals, degrading FPFH match quality there. Benign in practice
+    because loop candidates share a viewpoint with the submap center, and a failed global
+    registration falls back to the identity guess."""
 
     keypoint_leaf: float = 1.0       # voxel leaf for keypoint extraction [m]
     normal_k: int = 16               # kNN for normal estimation
@@ -143,7 +158,10 @@ class GraphSlamConfig:
     """graph_based_slam back end (`param.yaml:1-29`, `graph_based_slam.cpp:27-155`)."""
 
     rate: float = 1.0                       # loop-search cadence [Hz] (`param.yaml:3`)
-    loop_search_period_frames: int = 10     # our frame-count analog of the 1 Hz wall timer
+    # Frame-count analog of the reference's `rate` wall timer (`cpp:71-74`) — the
+    # pipeline is deterministic per-frame, not wall-clock. <= 0 derives the period from
+    # `rate` assuming the nominal 10 Hz sensor: period = round(10 / rate).
+    loop_search_period_frames: int = 10
     search_key_frame_num: int = 20          # submap half-window ±20 (`param.yaml:4`)
     search_radius: float = 50.0             # dormant kd-tree detector's radius (`param.yaml:5`)
     score_threshold: float = 0.3            # ICP fitness accept gate (`param.yaml:6`)
@@ -154,6 +172,14 @@ class GraphSlamConfig:
     # into one solver, so the choices are ICP | GICP | NDT.
     registration_method: str = "ICP"
     loop_submap_leaf: float = 0.5           # voxel leaf for loop submap (`cpp:61,311-313`)
+    # Loop-gate fitness semantics (registration/icp.py:fitness_score): "penalized"
+    # (default; unmatched source points contribute a capped penalty — anti-gaming) or
+    # "pcl" (exact getFitnessScore parity: matched-only, uncapped — the quantity the
+    # reference's 0.3 gate was tuned against, `graph_based_slam.cpp:328`).
+    fitness_mode: str = "penalized"
+    # The dormant kd-tree detector's 30 s temporal gate (`graph_based_slam.cpp:210`),
+    # applied by detect_loop(mode="radius") when keyframes carry stamps. 0 disables.
+    temporal_gate_sec: float = 30.0
     icp: IcpConfig = field(default_factory=IcpConfig)
     # Verifier knobs for the non-default methods (`graph_based_slam.cpp:82-119`). NDT runs
     # single-level here — the loop pipeline has its own fixed coarse pre-align stage.

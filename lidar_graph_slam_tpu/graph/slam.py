@@ -61,6 +61,7 @@ class GraphBasedSLAM:
         )
         self.kf_clouds: list[np.ndarray] = []       # [n_i, 3] sensor-frame clouds
         self.kf_accum_dist: list[float] = []
+        self.kf_stamps: list[Optional[float]] = []  # sensor stamps (None if unstamped)
         self.kf_front_poses: list[np.ndarray] = []  # front-end (odometry) poses
         # Host mirror of the optimized poses. Between optimizations the device poses only
         # change by appends this class itself computes, so every non-loop frame runs with
@@ -69,14 +70,24 @@ class GraphBasedSLAM:
         self._poses_host: list[np.ndarray] = []
         self.loop_log: list[dict] = []
         self.n_keyframes = 0
+        self.n_loops = 0
         self._frames_since_loop_check = 0
         self.is_loop_closed = False
+        # Capacity-overflow flags, surfaced like `VoxelGrid.overflow`: inserts past the
+        # fixed device capacities are refused (never silently overwritten) and flagged.
+        self.keyframe_overflow = False
+        self.loop_overflow = False
 
     # -- keyframe insertion (§3.3) ------------------------------------------------------
 
     def add_keyframe(self, kf) -> None:
         """Insert a front-end keyframe record (`core.msgs.KeyFrame` or an equivalent
-        mapping with pose, cloud, cloud_mask, accum_distance)."""
+        mapping with pose, cloud, cloud_mask, accum_distance). At `max_keyframes`
+        capacity the insert is refused and `keyframe_overflow` is flagged (the device
+        graph would drop the write anyway — this surfaces it)."""
+        if self.n_keyframes >= self.capacity.max_keyframes:
+            self.keyframe_overflow = True
+            return
         pose = np.asarray(kf["pose"], dtype=np.float32)
         if self.n_keyframes == 0:
             odom = np.eye(4, dtype=np.float32)
@@ -94,6 +105,8 @@ class GraphBasedSLAM:
         cloud = np.asarray(kf["cloud"])[np.asarray(kf["cloud_mask"])]
         self.kf_clouds.append(cloud.astype(np.float32))
         self.kf_accum_dist.append(float(kf["accum_distance"]))
+        stamp = kf.get("stamp") if hasattr(kf, "get") else None
+        self.kf_stamps.append(None if stamp is None else float(stamp))
         self.kf_front_poses.append(np.asarray(kf["pose"], dtype=np.float32))
         self._poses_host.append(pose)
         self.n_keyframes += 1
@@ -106,7 +119,8 @@ class GraphBasedSLAM:
         mode="inline": the active detector (`optimization_callback` `:264-280`) —
           accumulated-distance gap AND Euclidean gate, keep the nearest.
         mode="radius": the dormant kd-tree variant (`detect_loop_with_kd_tree` `:189-236`)
-          — radius search with the same accum-dist gate.
+          — radius search with the same accum-dist gate, plus its 30 s temporal gate
+          (`:210`, `cfg.temporal_gate_sec`) when keyframes carry stamps.
         mode="accum": the dormant accumulated-distance-only variant
           (`detect_loop_with_accum_dist` `:157-187`) — nearest keyframe past the
           accum-dist gap, no Euclidean gate.
@@ -125,6 +139,16 @@ class GraphBasedSLAM:
             gate &= d < self.cfg.search_for_candidate_threshold
         elif mode == "radius":
             gate &= d < self.cfg.search_radius
+            # Temporal gate (`graph_based_slam.cpp:210`): candidates must be at least
+            # `temporal_gate_sec` older than the latest keyframe. Unstamped keyframes
+            # (stamp None) pass, preserving behavior for stampless datasets.
+            cur_stamp = self.kf_stamps[latest]
+            if cur_stamp is not None and self.cfg.temporal_gate_sec > 0:
+                ages = np.array([
+                    np.inf if s is None else cur_stamp - s
+                    for s in self.kf_stamps[: self.n_keyframes]
+                ])
+                gate &= ages > self.cfg.temporal_gate_sec
         elif mode != "accum":
             raise ValueError(f"unknown loop detection mode {mode!r}")
         if not gate.any():
@@ -148,6 +172,16 @@ class GraphBasedSLAM:
     def try_close_loop(self) -> bool:
         """One loop-closure attempt for the latest keyframe. Returns True if a factor was
         added (and the graph re-optimized)."""
+        if self.n_loops >= self.capacity.max_loop_factors:
+            # Refuse at capacity and surface it (the device graph drops the write;
+            # silently corrupting factor L-1 was the round-2 failure mode).
+            if not self.loop_overflow:
+                self.loop_log.append({
+                    "latest": self.n_keyframes - 1, "candidate": -1, "fitness": np.inf,
+                    "converged": False, "accepted": False, "overflow": True,
+                })
+            self.loop_overflow = True
+            return False
         cand = self.detect_loop()
         if cand is None:
             return False
@@ -183,7 +217,8 @@ class GraphBasedSLAM:
             )
             guess = jnp.where(g_ok, T_g, guess)
 
-        # Stage 1: coarse NDT pre-align (identity guess, as the reference's ICP `:318`).
+        # Stage 1: coarse NDT pre-align from `guess` — identity (the reference's ICP guess
+        # at `:318`) unless the FPFH+RANSAC global init above succeeded.
         ndt_map = build_ndt_map(
             filtered.points, filtered.mask, jnp.float32(4.0),
             capacity=self.capacity.voxel_capacity // 4,
@@ -196,15 +231,21 @@ class GraphBasedSLAM:
         # `graph_based_slam.cpp:77-155`; default ICP per `param.yaml:9`). The decision
         # quantity is always the PCL-style fitness score (`:320-328`), computed uniformly
         # by `fitness_score` so the 0.3 gate means the same thing for every method.
-        grid = build_hash_grid(filtered.points, filtered.mask, 2.0)
+        # NN grid cell: the configured correspondence distance, capped at 2 m — the NDT
+        # pre-align already brings correspondences within ~a cell, so the reference's
+        # 30 m default (`graph_based_slam.cpp:146`, which compensates for its identity
+        # guess) would only blur the NN search here. Values below 2 m are honored exactly.
+        corr_dist = min(self.cfg.icp.max_correspondence_distance, 2.0)
+        grid = build_hash_grid(filtered.points, filtered.mask, corr_dist)
         if self.method == "ICP":
             # After the coarse pre-align correspondences sit within ~a cell, so the 7-cell
             # neighborhood suffices (4x fewer gather indices than the 27-cell search).
             res = icp_mod.icp_align(
                 grid, src_cloud.points, src_cloud.mask, pre.transform,
-                max_correspondence_distance=2.0,
+                max_correspondence_distance=corr_dist,
                 max_iterations=self.cfg.icp.max_iterations,
                 transform_epsilon=max(self.cfg.icp.transform_epsilon, 1e-7),
+                euclidean_fitness_epsilon=self.cfg.icp.euclidean_fitness_epsilon,
                 bucket_cap=16, neighborhood=7,
             )
         elif self.method == "GICP":
@@ -237,8 +278,8 @@ class GraphBasedSLAM:
                 max_iterations=self.cfg.ndt.max_iterations,
             )
         score = icp_mod.fitness_score(
-            grid, src_cloud.points, src_cloud.mask, res.transform, max_range=2.0,
-            bucket_cap=16, neighborhood=7,
+            grid, src_cloud.points, src_cloud.mask, res.transform, max_range=corr_dist,
+            bucket_cap=16, neighborhood=7, mode=self.cfg.fitness_mode,
         )
         icp_T, fitness_f, converged_b = jax.device_get(
             (res.transform, score, res.converged)
@@ -267,6 +308,7 @@ class GraphBasedSLAM:
         self.graph = solver.graph_add_loop(
             self.graph, jnp.asarray(latest), jnp.asarray(cand), Z, info
         )
+        self.n_loops += 1
         self.graph = solver.optimize(self.graph, max_iterations=15)
         # Refresh the host pose mirror with one batched read (the reference's deferred
         # `adjust_pose`, `graph_based_slam.cpp:417-432`).
@@ -279,9 +321,13 @@ class GraphBasedSLAM:
 
     def on_frame(self) -> bool:
         """Per-frame cadence hook: runs a loop check every `loop_search_period_frames`
-        (our deterministic analog of the reference's 1 Hz wall timer `:71-74`)."""
+        (our deterministic analog of the reference's `rate`-Hz wall timer `:71-74`;
+        period <= 0 derives it from `rate` at the nominal 10 Hz sensor)."""
+        period = self.cfg.loop_search_period_frames
+        if period <= 0:
+            period = max(1, int(round(10.0 / max(self.cfg.rate, 1e-6))))
         self._frames_since_loop_check += 1
-        if self._frames_since_loop_check >= self.cfg.loop_search_period_frames:
+        if self._frames_since_loop_check >= period:
             self._frames_since_loop_check = 0
             return self.try_close_loop()
         return False

@@ -73,29 +73,37 @@ def init_graph(max_keyframes: int, max_loops: int, odom_noise_var) -> PoseGraph:
 @partial(jax.jit, donate_argnames=("g",))
 def graph_add_keyframe(g: PoseGraph, pose: jax.Array, odom_meas: jax.Array) -> PoseGraph:
     """Append a keyframe with its odometry between-measurement (reference semantics:
-    `key_frame_callback`, `graph_based_slam.cpp:354-377`)."""
+    `key_frame_callback`, `graph_based_slam.cpp:354-377`). Refuses at capacity
+    (mode="drop" + clamped count), mirroring `graph_add_loop`."""
     k = g.num_poses
+    K = g.pose_mask.shape[0]
     return g.replace(
-        poses=g.poses.at[k].set(pose),
-        pose_mask=g.pose_mask.at[k].set(True),
-        odom_meas=g.odom_meas.at[k].set(odom_meas),
+        poses=g.poses.at[k].set(pose, mode="drop"),
+        pose_mask=g.pose_mask.at[k].set(True, mode="drop"),
+        odom_meas=g.odom_meas.at[k].set(odom_meas, mode="drop"),
         prior_pose=jnp.where(k == 0, pose, g.prior_pose),
-        num_poses=k + 1,
+        num_poses=jnp.minimum(k + 1, K),
     )
 
 
 @partial(jax.jit, donate_argnames=("g",))
 def graph_add_loop(g: PoseGraph, i: jax.Array, j: jax.Array, meas: jax.Array, info_diag: jax.Array) -> PoseGraph:
     """Append a loop between-factor (noise = fitness * I6 in the reference,
-    `graph_based_slam.cpp:335-341` — callers pass info_diag = 1/fitness * ones)."""
+    `graph_based_slam.cpp:335-341` — callers pass info_diag = 1/fitness * ones).
+
+    At capacity the insert is REFUSED (scatter mode="drop" discards the out-of-range
+    write and num_loops stays clamped) rather than silently overwriting the last factor;
+    hosts detect the refusal by num_loops not advancing (`GraphBasedSLAM.try_close_loop`
+    checks capacity first and surfaces the overflow in telemetry)."""
     l = g.num_loops
+    L = g.loop_mask.shape[0]
     return g.replace(
-        loop_i=g.loop_i.at[l].set(i),
-        loop_j=g.loop_j.at[l].set(j),
-        loop_meas=g.loop_meas.at[l].set(meas),
-        loop_info=g.loop_info.at[l].set(info_diag),
-        loop_mask=g.loop_mask.at[l].set(True),
-        num_loops=l + 1,
+        loop_i=g.loop_i.at[l].set(i, mode="drop"),
+        loop_j=g.loop_j.at[l].set(j, mode="drop"),
+        loop_meas=g.loop_meas.at[l].set(meas, mode="drop"),
+        loop_info=g.loop_info.at[l].set(info_diag, mode="drop"),
+        loop_mask=g.loop_mask.at[l].set(True, mode="drop"),
+        num_loops=jnp.minimum(l + 1, L),
     )
 
 

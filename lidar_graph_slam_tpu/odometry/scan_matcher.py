@@ -38,6 +38,24 @@ from lidar_graph_slam_tpu.ops.neighbors import build_hash_grid
 from lidar_graph_slam_tpu.registration import gicp, icp, ndt
 
 
+def integrate_gyro(queue, t0: Optional[float], t1: Optional[float]) -> Optional[np.ndarray]:
+    """Integrate queued (stamp, angular_velocity) gyro samples over (t0, t1] into a 3x3
+    rotation, or None when unstamped / no samples. Shared by the classic and fused
+    drivers (the reference's dormant `callback_imu` slot, `lidar_scan_matcher.hpp:64-68`,
+    made functional)."""
+    if t0 is None or t1 is None or not queue:
+        return None
+    samples = [(t, w) for t, w in queue if t0 < t <= t1]
+    if not samples:
+        return None
+    omega = np.zeros(3)
+    prev_t = t0
+    for t, w in samples:
+        omega += w * (t - prev_t)
+        prev_t = t
+    return np.asarray(se3.so3_exp(jnp.asarray(omega, dtype=jnp.float32)))
+
+
 @struct.dataclass
 class SubmapRing:
     """Ring buffer of the last-K keyframe clouds (sensor frame) + their poses."""
@@ -170,21 +188,9 @@ class ScanMatcher:
 
     def _imu_rotation_delta(self, stamp: Optional[float]) -> Optional[np.ndarray]:
         """Integrate queued gyro samples between the previous scan and `stamp`."""
-        if stamp is None or self.last_scan_stamp is None or not self.imu_queue:
+        R = integrate_gyro(self.imu_queue, self.last_scan_stamp, stamp)
+        if R is None:
             return None
-        t0, t1 = self.last_scan_stamp, stamp
-        samples = [(t, w) for t, w in self.imu_queue if t0 < t <= t1]
-        if not samples:
-            return None
-        omega = np.zeros(3)
-        prev_t = t0
-        for t, w in samples:
-            omega += w * (t - prev_t)
-            prev_t = t
-        from lidar_graph_slam_tpu.core import se3 as _se3
-        import jax.numpy as _jnp
-
-        R = np.asarray(_se3.so3_exp(_jnp.asarray(omega, dtype=_jnp.float32)))
         out = np.eye(4, dtype=np.float32)
         out[:3, :3] = R
         return out

@@ -86,6 +86,11 @@ def main(argv=None) -> int:
         result.odometry_poses,
         result.keyframe_poses,
         loop_pairs=[(l["latest"], l["candidate"]) for l in result.loop_log if l["accepted"]],
+        rejected_pairs=[
+            (l["latest"], l["candidate"])
+            for l in result.loop_log
+            if not l["accepted"] and not l.get("overflow") and l["candidate"] >= 0
+        ],
         gt_poses=gt_for_plot,
     )
 

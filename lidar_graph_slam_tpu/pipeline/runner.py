@@ -53,6 +53,7 @@ class SlamPipeline:
         self.timings: dict[str, list] = {"prefilter": [], "register": [], "backend": []}
         self.odometry_poses: list[np.ndarray] = []
         self.kf_frame_indices: list[int] = []
+        self._loop_attempts_emitted = 0
         self.fused = cfg.fused_frontend
 
         if self.fused:
@@ -66,10 +67,16 @@ class SlamPipeline:
             self._rebuild = aux["rebuild"]
             self._window = aux["window"]
             self._target = self._rebuild(self._ring)  # empty map; frame 0 bootstraps
-            self._pending: deque = deque()  # (frame_idx, wall_t0, FrameOut)
+            self._pending: deque = deque()  # (frame_idx, wall_t0, stamp, FrameOut)
             self._eye3 = jnp.eye(3, dtype=jnp.float32)
             self._false = jnp.asarray(False)
+            self._true = jnp.asarray(True)
             self._last_out: dict = {}
+            # IMU route for the fused driver (VERDICT r02 item 6): gyro samples queue
+            # here and integrate host-side between consecutive scan stamps; the result
+            # rides into the fused step as (imu_R, use_imu).
+            self._imu_queue: list = []
+            self._last_dispatch_stamp = None
             self.front = None
         else:
             from lidar_graph_slam_tpu.filters.prefilter import make_prefilter
@@ -88,13 +95,31 @@ class SlamPipeline:
             )
             self._kf_consumed = 0
 
+    def _emit_loop_attempts(self, frame_idx: int) -> None:
+        """Stream every loop-closure attempt (accepted AND rejected) into the metrics
+        JSONL — the reference's `/candidate_key_frame` debugging signal
+        (`graph_based_slam.cpp:284-295`), which round 2 only kept for accepted loops."""
+        while self._loop_attempts_emitted < len(self.back.loop_log):
+            rec = self.back.loop_log[self._loop_attempts_emitted]
+            self._loop_attempts_emitted += 1
+            self.metrics_writer.emit({
+                "event": "loop_attempt",
+                "frame": frame_idx,
+                "latest": rec.get("latest"),
+                "candidate": rec.get("candidate"),
+                "fitness": float(rec.get("fitness", np.inf)),
+                "converged": bool(rec.get("converged", False)),
+                "accepted": bool(rec.get("accepted", False)),
+                "overflow": bool(rec.get("overflow", False)),
+            })
+
     # -- fused driver -------------------------------------------------------------------
 
     def _consume_fused(self, item) -> dict:
         """Read one pending frame's outputs (one batched transfer) and run the back end."""
         import jax
 
-        frame_idx, t0, out = item
+        frame_idx, t0, stamp, out = item
         t1 = time.perf_counter()
         pose, converged, is_kf, fitness, iters, kf_id, accum = jax.device_get(
             (out.pose, out.converged, out.is_keyframe, out.fitness, out.iterations,
@@ -131,11 +156,13 @@ class SlamPipeline:
                     cloud=np.asarray(cloud),
                     cloud_mask=np.asarray(mask),
                     frame_index=frame_idx,
+                    stamp=stamp,
                 )
             )
             self.kf_frame_indices.append(frame_idx)
         if self.cfg.enable_loop_closure:
             self.back.on_frame()
+        self._emit_loop_attempts(frame_idx)
         t3 = time.perf_counter()
 
         self.odometry_poses.append(pose)
@@ -158,11 +185,23 @@ class SlamPipeline:
         return info
 
     def _process_fused(self, scan: np.ndarray, stamp: Optional[float]) -> dict:
+        import jax.numpy as jnp
+
+        from lidar_graph_slam_tpu.odometry.scan_matcher import integrate_gyro
+
         t0 = time.perf_counter()
         frame_idx = len(self.odometry_poses) + len(self._pending)
         raw = PointCloud.from_array(scan, capacity=self.cfg.capacity.raw_points)
+        # Gyro-integrated rotation since the previously DISPATCHED frame: inside the step
+        # the guess rotation becomes state.pose[:3,:3] @ imu_R, and state.pose at dispatch
+        # of frame t is frame t-1's pose — exactly the classic driver's semantics.
+        imu_R = integrate_gyro(self._imu_queue, self._last_dispatch_stamp, stamp)
+        self._last_dispatch_stamp = stamp
+        use_imu = imu_R is not None and frame_idx > 0
         self._state, out = self._step(
-            self._state, raw.points, raw.mask, self._target, self._eye3, self._false
+            self._state, raw.points, raw.mask, self._target,
+            jnp.asarray(imu_R, jnp.float32) if use_imu else self._eye3,
+            self._true if use_imu else self._false,
         )
         # Start the keyframe payload's host copy now; if this frame turns out to be a
         # keyframe the back end reads it (nearly) for free.
@@ -173,7 +212,7 @@ class SlamPipeline:
             pass
         t1 = time.perf_counter()
         self.timings["prefilter"].append(t1 - t0)  # host pad + upload + dispatch
-        self._pending.append((frame_idx, t0, out))
+        self._pending.append((frame_idx, t0, stamp, out))
         if frame_idx == 0:
             # Bootstrap frame: consume immediately so keyframe 0 lands in the ring and the
             # target is real before frame 1 dispatches (reference `:133-160` semantics).
@@ -212,6 +251,7 @@ class SlamPipeline:
             self._kf_consumed += 1
         if self.cfg.enable_loop_closure:
             self.back.on_frame()
+        self._emit_loop_attempts(len(self.odometry_poses))
         t3 = time.perf_counter()
 
         self.timings["prefilter"].append(t1 - t0)
@@ -235,6 +275,21 @@ class SlamPipeline:
         return out
 
     # -- public API ---------------------------------------------------------------------
+
+    def add_imu(self, stamp: float, angular_velocity, linear_acceleration=None) -> None:
+        """Queue an IMU sample (the reference's `callback_imu` slot,
+        `lidar_scan_matcher.hpp:64-68`). Works in BOTH drivers: the classic path hands it
+        to ScanMatcher; the fused path integrates host-side and feeds (imu_R, True) into
+        the fused device step."""
+        if self.fused:
+            del linear_acceleration
+            self._imu_queue.append(
+                (float(stamp), np.asarray(angular_velocity, dtype=np.float64))
+            )
+            if len(self._imu_queue) > 2000:
+                self._imu_queue = self._imu_queue[-1000:]
+        else:
+            self.front.add_imu(stamp, angular_velocity, linear_acceleration)
 
     def process_scan(self, scan: np.ndarray, stamp: Optional[float] = None) -> dict:
         """Feed one raw sensor-frame scan [n, 3]. In fused mode the returned dict

@@ -235,7 +235,6 @@ def ransac_align(
         TABLE_DIMS, _flat_table_index, build_dense_table, min_corner, pack_key, voxel_coords,
     )
 
-    q = src_kp.shape[0]
     tgt_of_src = tgt_kp[match_idx]                            # [Q, 3]
 
     # Occupancy table over target keypoints.
@@ -288,8 +287,8 @@ def ransac_align(
         key_yaw = jax.random.fold_in(key, 1)
         pos1 = jax.random.randint(key_yaw, (hypotheses,), 0, jnp.maximum(n_valid, 1))
         r1 = order[pos1]                                       # [H]
-        p = src_kp[r1]
-        q = tgt_of_src[r1]
+        p_h = src_kp[r1]
+        q_h = tgt_of_src[r1]
         np_h = src_normals[r1]
         nq_h = tgt_normals[match_idx[r1]]
         # Azimuth difference of the normals' horizontal components fixes the yaw;
@@ -304,7 +303,7 @@ def ransac_align(
         Rz = jnp.stack(
             [c, -s, zero, s, c, zero, zero, zero, one], axis=-1
         ).reshape(hypotheses, 3, 3)
-        t_yaw = q - jnp.einsum("hij,hj->hi", Rz, p)
+        t_yaw = q_h - jnp.einsum("hij,hj->hi", Rz, p_h)
         T_yaw = jnp.zeros((hypotheses, 4, 4), src_kp.dtype)
         T_yaw = T_yaw.at[:, :3, :3].set(Rz).at[:, :3, 3].set(t_yaw).at[:, 3, 3].set(1.0)
         yaw_ok = match_ok[r1] & horiz_ok & (n_valid >= 1)

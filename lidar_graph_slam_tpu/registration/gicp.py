@@ -104,7 +104,7 @@ def build_gicp_target(points, mask, cell_size, k: int = 20) -> GicpTarget:
     return GicpTarget(grid=grid, covs=covs, valid=ok)
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "k", "bucket_cap"))
+@partial(jax.jit, static_argnames=("max_iterations", "k", "bucket_cap", "reciprocal"))
 def gicp_align(
     target: GicpTarget,
     source_points: jax.Array,
@@ -116,11 +116,21 @@ def gicp_align(
     max_iterations: int = 64,
     k: int = 20,
     bucket_cap: int = 32,
+    reciprocal: bool = False,
+    source_grid: HashGrid | None = None,
 ) -> RegistrationResult:
-    """Plane-to-plane GICP: minimize sum e^T (C_q + R C_p R^T)^-1 e over SE(3)."""
+    """Plane-to-plane GICP: minimize sum e^T (C_q + R C_p R^T)^-1 e over SE(3).
+
+    `reciprocal=True` reproduces PCL's `setUseReciprocalCorrespondences` (the reference's
+    GICP option, `lidar_scan_matcher.cpp:84-85,90`): a pair (p_i -> q_j) survives only if
+    q_j's nearest neighbor among the transformed source points is p_i. NN distance is
+    rigid-invariant, so the backward query runs in the SOURCE frame against a grid built
+    once from the untransformed source (`source_grid`, required when reciprocal)."""
     corr2 = max_correspondence_distance * max_correspondence_distance
     n = source_points.shape[0]
     use_pallas = jax.devices()[0].platform != "cpu" and n % 128 == 0
+    if reciprocal and source_grid is None:
+        raise ValueError("reciprocal=True requires source_grid")
 
     def body(carry):
         T, done, iters, _f, _n = carry
@@ -128,6 +138,12 @@ def gicp_align(
         p = se3.transform_points(T, source_points)
         idx, d2, found = nearest(target.grid, p, bucket_cap=bucket_cap)
         matched = found & source_mask & (d2 < corr2) & target.valid[idx]
+        if reciprocal:
+            # Backward NN in the source frame: T^{-1} q against the static source grid.
+            q_back = se3.transform_points(se3.inverse(T), target.grid.points[idx])
+            bidx, _bd2, bfound = nearest(source_grid, q_back, bucket_cap=bucket_cap)
+            back_orig = source_grid.order[bidx]  # sorted row -> original source row
+            matched = matched & bfound & (back_orig == jnp.arange(n, dtype=back_orig.dtype))
 
         q = target.grid.points[idx]
         Cq = target.covs[idx]
@@ -163,8 +179,11 @@ def gicp_align(
         jnp.asarray(0, jnp.int32),
     )
     T, done, iters, fitness, n_inl = jax.lax.while_loop(cond, body, init)
+    # PCL parity (see ndt.py / icp.py): max-iterations stop counts as converged; quality
+    # is gated by inlier count and the caller's health gate, not the stop reason.
+    converged = (done | (iters >= max_iterations)) & (n_inl >= 6) & jnp.isfinite(T).all()
     return RegistrationResult(
-        transform=T, converged=done, iterations=iters, fitness=fitness, num_inliers=n_inl
+        transform=T, converged=converged, iterations=iters, fitness=fitness, num_inliers=n_inl
     )
 
 
@@ -178,6 +197,11 @@ def make_gicp_matcher(cfg, cell_size: float = 2.0):
         return build_gicp_target(points, mask, cell_size, k=cfg.correspondence_randomness)
 
     def align(target, points, mask, init_T, source_covs):
+        source_grid = (
+            build_hash_grid(points, mask, cfg.max_correspondence_distance)
+            if cfg.use_reciprocal
+            else None
+        )
         return gicp_align(
             target,
             points,
@@ -188,6 +212,8 @@ def make_gicp_matcher(cfg, cell_size: float = 2.0):
             transform_epsilon=cfg.transform_epsilon,
             max_iterations=cfg.max_iterations,
             k=cfg.correspondence_randomness,
+            reciprocal=cfg.use_reciprocal,
+            source_grid=source_grid,
         )
 
     return build_target, align

@@ -44,7 +44,8 @@ def _umeyama_step(src: jax.Array, dst: jax.Array, w: jax.Array):
     return R, t
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "bucket_cap", "neighborhood"))
+@partial(jax.jit, static_argnames=("max_iterations", "euclidean_fitness_epsilon",
+                                   "bucket_cap", "neighborhood"))
 def icp_align(
     target_grid: HashGrid,
     source_points: jax.Array,
@@ -53,6 +54,7 @@ def icp_align(
     max_correspondence_distance: float = 2.0,
     max_iterations: int = 50,
     transform_epsilon: float = 1e-6,
+    euclidean_fitness_epsilon: float = 0.0,
     bucket_cap: int = 32,
     neighborhood: int = 27,
 ) -> RegistrationResult:
@@ -60,11 +62,16 @@ def icp_align(
 
     The grid's cell size bounds the NN search radius (one cell ring); pass a grid built
     with cell_size >= max_correspondence_distance for faithful wide-basin behavior.
+
+    `euclidean_fitness_epsilon` reproduces PCL DefaultConvergenceCriteria's absolute-MSE
+    stop (`setEuclideanFitnessEpsilon`, wired by the reference at
+    `graph_based_slam.cpp:148`): iteration stops when the fitness change between
+    consecutive iterations falls below it. 0 disables.
     """
     corr2 = max_correspondence_distance * max_correspondence_distance
 
     def body(carry):
-        T, done, iters, _f, _n = carry
+        T, done, iters, fitness_prev, _n = carry
         p = se3.transform_points(T, source_points)
         idx, d2, found = nearest(target_grid, p, bucket_cap=bucket_cap,
                                  neighborhood=neighborhood)
@@ -87,6 +94,10 @@ def icp_align(
 
         step = se3.se3_log(delta_T)
         newly_done = jnp.linalg.norm(step) < transform_epsilon
+        if euclidean_fitness_epsilon > 0.0:
+            newly_done = newly_done | (
+                jnp.abs(fitness_prev - fitness) < euclidean_fitness_epsilon
+            )
         return T_new, done | newly_done, iters + 1, fitness, n_inl
 
     def cond(carry):
@@ -111,7 +122,7 @@ def icp_align(
     )
 
 
-@partial(jax.jit, static_argnames=("bucket_cap", "neighborhood"))
+@partial(jax.jit, static_argnames=("bucket_cap", "neighborhood", "mode"))
 def fitness_score(
     target_grid: HashGrid,
     points: jax.Array,
@@ -120,15 +131,34 @@ def fitness_score(
     max_range: float,
     bucket_cap: int = 16,
     neighborhood: int = 27,
+    mode: str = "penalized",
 ) -> jax.Array:
-    """PCL `Registration::getFitnessScore` parity: mean squared NN distance between the
-    transformed source and the target, capped at max_range^2 per point. The reference gates
-    loop acceptance on this quantity for EVERY verifier method (`graph_based_slam.cpp:328`)
-    and scales the loop factor's noise with it (`:335-339`), so it is computed uniformly
-    here rather than from each solver's internal residual."""
+    """Loop-gate fitness, computed uniformly for every verifier method. The reference gates
+    loop acceptance on PCL `getFitnessScore` (`graph_based_slam.cpp:328`) and scales the
+    loop factor's noise with it (`:335-339`).
+
+    mode="penalized" (default): mean squared NN distance over ALL valid source points,
+      capped at max_range^2; unmatched points contribute the cap. A grossly misaligned pair
+      cannot fake a good score just because few points matched (anti-gaming hardening the
+      reference lacks).
+    mode="pcl": exact `getFitnessScore(max_range)` semantics — mean squared distance over
+      MATCHED points only (NN distance < max_range), uncapped; +inf when nothing matches
+      (PCL returns std::numeric_limits<double>::max()). Use for reference-parity tuning of
+      the 0.3 gate. Note the grid still bounds the NN search to one cell ring, so
+      max_range is effectively min(max_range, cell_size)."""
     p = se3.transform_points(transform, points)
     _, d2, found = nearest(target_grid, p, bucket_cap=bucket_cap, neighborhood=neighborhood)
     pen = jnp.asarray(max_range * max_range, p.dtype)
+    if mode == "pcl":
+        matched = found & mask & (d2 < pen)
+        n = jnp.sum(matched)
+        return jnp.where(
+            n > 0,
+            jnp.sum(jnp.where(matched, d2, 0.0)) / jnp.maximum(n, 1),
+            jnp.asarray(jnp.inf, p.dtype),
+        )
+    if mode != "penalized":
+        raise ValueError(f"unknown fitness mode {mode!r}")
     per_pt = jnp.where(found, jnp.minimum(d2, pen), pen)
     nvalid = jnp.maximum(jnp.sum(mask), 1)
     return jnp.sum(jnp.where(mask, per_pt, 0.0)) / nvalid

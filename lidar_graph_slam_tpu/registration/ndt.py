@@ -133,8 +133,14 @@ def ndt_align(
     for _ in range(polish_iterations):
         carry = body(carry)
     T, _, _, fitness, inliers = carry
+    # PCL parity (matching icp_align): `hasConverged()` is true whenever the convergence
+    # criteria stopped the loop — epsilon OR max-iterations. pclomp NDT accepts a frame
+    # that used all 64 iterations (`lidar_scan_matcher.cpp:167-170` only drops on
+    # hasConverged()==false); requiring the epsilon stop here dropped such frames. The
+    # quality guard is the caller's inlier health gate, not the iteration count.
+    converged = (done | (iters >= max_iterations)) & (inliers > 0) & jnp.isfinite(T).all()
     return RegistrationResult(
-        transform=T, converged=done, iterations=iters, fitness=fitness, num_inliers=inliers
+        transform=T, converged=converged, iterations=iters, fitness=fitness, num_inliers=inliers
     )
 
 

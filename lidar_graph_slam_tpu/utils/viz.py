@@ -17,10 +17,15 @@ def render_run(
     odometry_poses: np.ndarray,
     keyframe_poses: np.ndarray | None = None,
     loop_pairs: list | None = None,
+    rejected_pairs: list | None = None,
     gt_poses: np.ndarray | None = None,
     max_map_points: int = 200000,
 ) -> None:
-    """Write a bird's-eye PNG of the map and trajectories."""
+    """Write a bird's-eye PNG of the map and trajectories.
+
+    `rejected_pairs` renders rejected loop candidates (orange dotted) — the reference's
+    `/candidate_key_frame` marker (`graph_based_slam.cpp:284-295`, rviz.config:201), the
+    debugging signal for loops that failed the fitness gate."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -44,6 +49,12 @@ def render_run(
     if keyframe_poses is not None and len(keyframe_poses):
         k = np.asarray(keyframe_poses)[:, :3, 3]
         ax.plot(k[:, 0], k[:, 1], "--", color="tab:blue", lw=1.2, label="optimized keyframes")
+        if rejected_pairs:
+            for a, b in rejected_pairs:
+                if 0 <= a < len(k) and 0 <= b < len(k):
+                    ax.plot([k[a, 0], k[b, 0]], [k[a, 1], k[b, 1]], ":",
+                            color="tab:orange", lw=1.2, alpha=0.9)
+            ax.plot([], [], ":", color="tab:orange", label="rejected candidates")
         if loop_pairs:
             for a, b in loop_pairs:
                 if a < len(k) and b < len(k):

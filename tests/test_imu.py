@@ -55,3 +55,46 @@ def test_odometry_with_imu_stamps():
         prev_gt = rel
     ate = ate_rmse(np.stack(est), np.stack(gt), align=False)
     assert ate < 0.35, f"IMU-assisted odometry ATE {ate}"
+
+
+@pytest.mark.slow
+def test_fused_driver_imu_matches_classic():
+    """VERDICT r02 item 6: IMU must be reachable in the DEFAULT (fused) driver.
+    Feeding the same gyro stream to both drivers must produce matching trajectories."""
+    from dataclasses import replace
+
+    import jax.numpy as jnp
+    from lidar_graph_slam_tpu.core import se3
+    from lidar_graph_slam_tpu.pipeline.runner import SlamPipeline
+    from tests.test_pipeline import small_config
+
+    n, cap = 12, 4096
+    seq = SyntheticSequence(n_frames=n, seed=2, max_points=cap, laps=0.1)
+    scans = [np.asarray(s) for s, _ in seq]
+    T0_inv = np.linalg.inv(seq.poses[0])
+    dt = 0.1
+
+    results = {}
+    for fused in (False, True):
+        cfg = replace(small_config(), fused_frontend=fused, enable_loop_closure=False)
+        pipe = SlamPipeline(cfg)
+        prev_gt = None
+        for i, scan in enumerate(scans):
+            rel = (T0_inv @ seq.poses[i]).astype(np.float32)
+            if prev_gt is not None:
+                dR = np.asarray(se3.so3_log(jnp.asarray(
+                    (np.linalg.inv(prev_gt) @ rel)[:3, :3]))) / dt
+                pipe.add_imu(i * dt - 0.05, dR)
+                pipe.add_imu(i * dt, dR)
+            pipe.process_scan(scan, stamp=i * dt)
+            prev_gt = rel
+        results[fused] = pipe.result()
+
+    a = results[False].odometry_poses
+    b = results[True].odometry_poses
+    gt = np.stack([(T0_inv @ p).astype(np.float32) for p in seq.poses])
+    for fused, r in results.items():
+        err = np.linalg.norm(r.odometry_poses[:, :3, 3] - gt[:, :3, 3], axis=1)
+        assert err.max() < 0.6, f"fused={fused} IMU run lost tracking: {err.max():.3f}"
+    d = np.linalg.norm(a[:, :3, 3] - b[:, :3, 3], axis=1)
+    assert d.max() < 0.3, f"fused+IMU diverged from classic+IMU: {d.max():.3f}"

@@ -94,11 +94,13 @@ def test_global_init_recovers_large_drift():
     back_plain, _ = build_loop_backend("ICP", **big)
     back_glob, true_last = build_loop_backend("ICP", use_global_init=True, **big)
 
+    # Capture the drifted baseline BEFORE any try_close_loop: a loop acceptance
+    # re-optimizes the poses and would corrupt the correction assertion below.
+    drifted = np.asarray(back_plain.optimized_poses()[-1])
     closed_plain = back_plain.try_close_loop()
     closed_glob = back_glob.try_close_loop()
     assert closed_glob, f"global-init verification failed ({back_glob.loop_log})"
     rec = back_glob.loop_log[-1]
-    drifted = np.asarray(back_plain.optimized_poses()[-1])
     corrected = rec["transform"] @ drifted
     assert np.linalg.norm(corrected[:3, 3] - true_last[:3, 3]) < 0.3
     # The identity-guess path is expected to miss this loop; if it ever starts passing,

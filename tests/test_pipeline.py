@@ -28,7 +28,6 @@ def small_config():
             raw_points=8192,
             filtered_points=4096,
             keyframe_points=4096,
-            submap_points=65536,
             loop_submap_points=65536,
             max_keyframes=256,
             voxel_capacity=32768,

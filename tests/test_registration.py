@@ -141,3 +141,83 @@ def test_registration_result_fields(scans):
     res = icp.icp_align(grid, sc.points, sc.mask, jnp.eye(4), max_iterations=5)
     assert int(res.iterations) <= 5
     assert int(res.num_inliers) > 1000
+
+
+def test_fitness_pcl_mode_parity(scans):
+    """mode="pcl" must equal getFitnessScore semantics exactly: mean squared NN distance
+    over matched points only, uncapped — verified against a hand-computed numpy oracle."""
+    target, _ = scans
+    tc = PointCloud.from_array(target, capacity=8192)
+    grid = build_hash_grid(tc.points, tc.mask, 2.0)
+
+    # Source: a few target points nudged by known offsets + one far outlier.
+    src = np.array(target[:64], dtype=np.float32)
+    src[:, 0] += 0.05
+    src[0] = [999.0, 999.0, 999.0]  # unmatched (empty cells)
+    sc = PointCloud.from_array(src, capacity=128)
+
+    score_pcl = float(icp.fitness_score(grid, sc.points, sc.mask, jnp.eye(4),
+                                        max_range=2.0, mode="pcl"))
+    # Oracle: exact NN over the full target.
+    d2 = ((src[:, None, :] - target[None, :, :]) ** 2).sum(-1).min(1)
+    matched = d2 < 4.0
+    oracle = d2[matched].mean()
+    assert abs(score_pcl - oracle) < 1e-5
+
+    # The penalized default differs (outlier contributes the cap) and is >= pcl.
+    score_pen = float(icp.fitness_score(grid, sc.points, sc.mask, jnp.eye(4),
+                                        max_range=2.0, mode="penalized"))
+    assert score_pen > score_pcl
+
+
+def test_fitness_pcl_mode_no_match_is_inf(scans):
+    target, _ = scans
+    tc = PointCloud.from_array(target, capacity=8192)
+    grid = build_hash_grid(tc.points, tc.mask, 2.0)
+    src = np.full((16, 3), 5000.0, np.float32)
+    sc = PointCloud.from_array(src, capacity=16)
+    s = float(icp.fitness_score(grid, sc.points, sc.mask, jnp.eye(4),
+                                max_range=2.0, mode="pcl"))
+    assert np.isinf(s)
+
+
+def test_ndt_max_iterations_counts_as_converged(scans):
+    """pclomp parity: a frame that exhausts max_iterations is NOT dropped —
+    `hasConverged()` stays true and quality is gated elsewhere
+    (`lidar_scan_matcher.cpp:167-170`)."""
+    target, source = scans
+    tc = PointCloud.from_array(target, capacity=8192)
+    sc = PointCloud.from_array(source, capacity=8192)
+    vm = build_ndt_map(tc.points, tc.mask, jnp.float32(2.0), capacity=8192)
+    # One iteration with a tiny epsilon cannot reach the epsilon stop.
+    res = ndt.ndt_align(vm, sc.points, sc.mask, jnp.eye(4), max_iterations=1,
+                        transform_epsilon=1e-12, polish_iterations=0)
+    assert int(res.iterations) >= 1
+    assert bool(res.converged)
+
+
+def test_gicp_reciprocal_converges_and_filters(scans):
+    """use_reciprocal (`lidar_scan_matcher.cpp:84-85,90`): alignment still recovers the
+    perturbation, and the reciprocity constraint strictly prunes correspondences."""
+    target, source = scans
+    tc = PointCloud.from_array(target, capacity=8192)
+    sc = PointCloud.from_array(source, capacity=8192)
+    tgt = gicp.build_gicp_target(tc.points, tc.mask, 2.0)
+    src_covs, _ = gicp.estimate_covariances(sc.points, sc.mask, 2.0)
+    src_grid = build_hash_grid(sc.points, sc.mask, 2.0)
+
+    T_true = perturbation(seed=5, rot=0.03, trans=0.3)
+    src_moved = (T_true[:3, :3] @ np.asarray(sc.points).T).T + T_true[:3, 3]
+    src_moved = jnp.where(sc.mask[:, None], src_moved, sc.points)
+    # NOTE: src_covs/src_grid are built from the unmoved source; the rigid move enters
+    # via the initial problem, matching the front end's usage (covs in sensor frame).
+    res = gicp.gicp_align(tgt, src_moved, sc.mask, jnp.eye(4), src_covs,
+                          reciprocal=True,
+                          source_grid=build_hash_grid(src_moved, sc.mask, 2.0))
+    res_plain = gicp.gicp_align(tgt, src_moved, sc.mask, jnp.eye(4), src_covs)
+    t_err, r_err = pose_error(np.asarray(res.transform) @ T_true, np.eye(4))
+    assert bool(res.converged)
+    assert t_err < 0.1 and r_err < 0.01, (t_err, r_err)
+    # Reciprocity can only remove pairs.
+    assert int(res.num_inliers) <= int(res_plain.num_inliers)
+    assert int(res.num_inliers) > 1000  # but keeps the bulk on a true pair
