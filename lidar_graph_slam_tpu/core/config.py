@@ -192,6 +192,31 @@ class GraphSlamConfig:
     # an identity guess at `graph_based_slam.cpp:318`, capped by the verifier's basin).
     use_global_init: bool = False
     global_reg: GlobalRegConfig = field(default_factory=GlobalRegConfig)
+    # Candidates verified per loop attempt. The reference verifies only the nearest
+    # (`graph_based_slam.cpp:264-280`); k > 1 verifies the k nearest gated candidates
+    # (non-overlapping submaps) in ONE batched device dispatch and adds a factor for
+    # every accepted one — strictly higher recall at ~the cost of one verification
+    # (the batch rides the same program; on a mesh it shards over devices).
+    loop_topk: int = 1
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Mesh parallelism for the live pipeline (no reference counterpart — the reference's
+    only scaling is OpenMP threads + three OS processes, SURVEY.md §2.3).
+
+    With `use_mesh` on, SlamPipeline builds a `jax.sharding.Mesh` and routes:
+      * the back-end pose-graph solve through the Schur-complement domain-decomposed
+        block-tridiagonal solve (`parallel/schur.py`) — each device eliminates its
+        contiguous pose segment, one psum of separator blocks rides ICI;
+      * batched top-k loop verification (`GraphSlamConfig.loop_topk`) with the candidate
+        batch axis sharded over the mesh.
+    Identical trajectories to the single-chip path (same math, same factors) — verified
+    by tests/test_pipeline_mesh.py on the 8-virtual-device CPU mesh."""
+
+    use_mesh: bool = False
+    mesh_devices: int = 0           # 0 = all local devices
+    backend_solver: str = "schur"   # "schur" | "chain" (psum-reduced replicated solve)
 
 
 @dataclass(frozen=True)
@@ -200,6 +225,7 @@ class PipelineConfig:
     scan_matcher: ScanMatcherConfig = field(default_factory=ScanMatcherConfig)
     graph_slam: GraphSlamConfig = field(default_factory=GraphSlamConfig)
     capacity: CapacityConfig = field(default_factory=CapacityConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
     enable_loop_closure: bool = True
     dtype: str = "float32"
     # Fused front end: prefilter + align + keyframing + submap rebuild as ONE device

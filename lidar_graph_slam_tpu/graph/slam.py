@@ -50,12 +50,23 @@ class GraphBasedSLAM:
     """Host-side back end. Keyframe clouds are kept host-side (numpy) and shipped to the
     device only for loop verification and map assembly — poses/factors stay on device."""
 
-    def __init__(self, cfg: GraphSlamConfig, capacity: CapacityConfig):
+    def __init__(self, cfg: GraphSlamConfig, capacity: CapacityConfig,
+                 mesh=None, backend_solver: str = "schur"):
         self.cfg = cfg
         self.capacity = capacity
         self.method = cfg.registration_method.upper()
         if self.method not in ("ICP", "GICP", "NDT"):
             raise ValueError(f"unknown loop registration_method {cfg.registration_method!r}")
+        # Mesh routing (ParallelConfig): when set, optimize() runs the Schur-distributed
+        # (or psum-chain) LM and batched loop verification shards candidates over the mesh.
+        self.mesh = mesh
+        self.backend_solver = backend_solver
+        if mesh is not None and capacity.max_keyframes % mesh.devices.size != 0:
+            raise ValueError(
+                f"capacity.max_keyframes={capacity.max_keyframes} must divide by the "
+                f"mesh size {mesh.devices.size} for the Schur domain decomposition"
+            )
+        self._verify_fn = None
         self.graph = solver.init_graph(
             capacity.max_keyframes, capacity.max_loop_factors, cfg.odom_noise_var
         )
@@ -125,8 +136,16 @@ class GraphBasedSLAM:
           (`detect_loop_with_accum_dist` `:157-187`) — nearest keyframe past the
           accum-dist gap, no Euclidean gate.
         """
+        cands = self.detect_loop_topk(1, mode=mode)
+        return cands[0] if cands else None
+
+    def detect_loop_topk(self, k: int, mode: str = "inline") -> list:
+        """The k nearest gated candidates, closest first, with successive picks separated
+        by at least `search_key_frame_num` keyframes (adjacent candidates share ~the whole
+        ±window submap — verifying both buys nothing). k=1 is exactly the reference's
+        nearest-candidate detector; k>1 is the batched-recall extension."""
         if self.n_keyframes < 2:
-            return None
+            return []
         latest = self.n_keyframes - 1
         positions = np.stack([T[:3, 3] for T in self._poses_host])
         cur_pos = positions[latest]
@@ -152,8 +171,18 @@ class GraphBasedSLAM:
         elif mode != "accum":
             raise ValueError(f"unknown loop detection mode {mode!r}")
         if not gate.any():
-            return None
-        return int(np.argmin(np.where(gate, d, np.inf)))
+            return []
+        order = np.argsort(np.where(gate, d, np.inf))
+        chosen: list[int] = []
+        min_sep = max(1, self.cfg.search_key_frame_num)
+        for idx in order:
+            if not gate[idx]:
+                break
+            if all(abs(int(idx) - c) >= min_sep for c in chosen):
+                chosen.append(int(idx))
+            if len(chosen) >= k:
+                break
+        return chosen
 
     # -- loop verification + factor insertion (§3.4) ------------------------------------
 
@@ -169,9 +198,77 @@ class GraphBasedSLAM:
             chunks.append(pts @ T[:3, :3].T + T[:3, 3])
         return np.concatenate(chunks).astype(np.float32)
 
+    def _build_verify_fn(self):
+        """One jitted program for the whole verification batch: coarse NDT pre-align ->
+        configured verifier (`get_registration` factory, `graph_based_slam.cpp:77-155`;
+        default ICP per `param.yaml:9`) -> uniform PCL-style fitness (`:320-328`), vmapped
+        over the candidate axis. Compiled once per batch size (jit shape cache); with a
+        mesh, input shardings fan the candidates out over devices."""
+        cfg = self.cfg
+        method = self.method
+        # NN grid cell: the configured correspondence distance, capped at 2 m — the NDT
+        # pre-align already brings correspondences within ~a cell, so the reference's
+        # 30 m default (`graph_based_slam.cpp:146`, which compensates for its identity
+        # guess) would only blur the NN search here. Values below 2 m are honored exactly.
+        corr_dist = min(cfg.icp.max_correspondence_distance, 2.0)
+
+        def one(grid, pre_map, extra, guess, src_p, src_m, src_covs):
+            # Stage 1: coarse NDT pre-align from `guess` — identity (the reference's ICP
+            # guess at `:318`) unless the FPFH+RANSAC global init succeeded.
+            # use_pallas=False throughout: this whole program runs under vmap (candidate
+            # batch) and the fused Pallas accumulation has no batching rule; the XLA path
+            # is identical math, and loop verification is a rare event off the hot path.
+            pre = ndt_mod.ndt_align(
+                pre_map, src_p, src_m, guess, step_size=0.4, max_iterations=16,
+                use_pallas=False,
+            )
+            # Stage 2: refine with the configured verifier. After the coarse pre-align
+            # correspondences sit within ~a cell, so the 7-cell neighborhood suffices
+            # (4x fewer gather indices than the 27-cell search).
+            if method == "ICP":
+                res = icp_mod.icp_align(
+                    grid, src_p, src_m, pre.transform,
+                    max_correspondence_distance=corr_dist,
+                    max_iterations=cfg.icp.max_iterations,
+                    transform_epsilon=max(cfg.icp.transform_epsilon, 1e-7),
+                    euclidean_fitness_epsilon=cfg.icp.euclidean_fitness_epsilon,
+                    bucket_cap=16, neighborhood=7,
+                )
+            elif method == "GICP":
+                from lidar_graph_slam_tpu.registration import gicp as gicp_mod
+
+                res = gicp_mod.gicp_align(
+                    extra, src_p, src_m, pre.transform, src_covs,
+                    max_correspondence_distance=cfg.gicp.max_correspondence_distance,
+                    transform_epsilon=max(cfg.gicp.transform_epsilon, 1e-7),
+                    max_iterations=cfg.gicp.max_iterations,
+                    use_pallas=False,
+                )
+            else:  # NDT
+                res = ndt_mod.ndt_align(
+                    extra, src_p, src_m, pre.transform,
+                    step_size=cfg.ndt.step_size,
+                    transform_epsilon=cfg.ndt.transform_epsilon,
+                    outlier_ratio=cfg.ndt.outlier_ratio,
+                    max_iterations=cfg.ndt.max_iterations,
+                    use_pallas=False,
+                )
+            # The decision quantity is always the PCL-style fitness score (`:320-328`),
+            # computed uniformly by `fitness_score` so the 0.3 gate means the same thing
+            # for every method.
+            score = icp_mod.fitness_score(
+                grid, src_p, src_m, res.transform, max_range=corr_dist,
+                bucket_cap=16, neighborhood=7, mode=cfg.fitness_mode,
+            )
+            return res.transform, score, res.converged
+
+        return jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, None, None, None)))
+
     def try_close_loop(self) -> bool:
-        """One loop-closure attempt for the latest keyframe. Returns True if a factor was
-        added (and the graph re-optimized)."""
+        """One loop-closure attempt for the latest keyframe: verify the top-k gated
+        candidates in one batched dispatch, add a factor per accepted candidate, then
+        re-optimize once. Returns True if any factor was added. k=1 (default) is the
+        reference's single-candidate behavior (`graph_based_slam.cpp:264-280`)."""
         if self.n_loops >= self.capacity.max_loop_factors:
             # Refuse at capacity and surface it (the device graph drops the write;
             # silently corrupting factor L-1 was the round-2 failure mode).
@@ -182,142 +279,151 @@ class GraphBasedSLAM:
                 })
             self.loop_overflow = True
             return False
-        cand = self.detect_loop()
-        if cand is None:
+        cands = self.detect_loop_topk(max(1, self.cfg.loop_topk))
+        if not cands:
             return False
         latest = self.n_keyframes - 1
-
-        submap = self._assemble_submap(cand, self.cfg.search_key_frame_num)
-        sub_cloud = PointCloud.from_array(submap, capacity=self.capacity.loop_submap_points)
-        filtered = voxel_downsample(
-            sub_cloud.points, sub_cloud.mask, jnp.float32(self.cfg.loop_submap_leaf),
-            capacity=self.capacity.loop_submap_points,
-        )
 
         # Latest keyframe cloud in the map frame under the current estimate (`:246-252`).
         T_latest = self._poses_host[latest]
         src = self.kf_clouds[latest] @ T_latest[:3, :3].T + T_latest[:3, 3]
         src_cloud = PointCloud.from_array(src, capacity=self.capacity.keyframe_points)
-
-        # Stage 0 (optional): FPFH+RANSAC global initial guess — recovers candidates with
-        # drift far outside any local verifier's basin (the reference has no counterpart;
-        # its identity guess at `:318` relies on a 30 m correspondence distance).
-        guess = jnp.eye(4)
-        if self.cfg.use_global_init:
-            from lidar_graph_slam_tpu.registration.features import global_register
-
-            gr = self.cfg.global_reg
-            T_g, _, g_ok = global_register(
-                src_cloud.points, src_cloud.mask, filtered.points, filtered.mask,
-                keypoint_leaf=gr.keypoint_leaf, normal_k=gr.normal_k, fpfh_k=gr.fpfh_k,
-                hypotheses=gr.hypotheses, inlier_threshold=gr.inlier_threshold,
-                min_occupancy=gr.min_occupancy, max_keypoints=gr.max_keypoints,
-                src_viewpoint=T_latest[:3, 3],
-                tgt_viewpoint=self._poses_host[cand][:3, 3],
-            )
-            guess = jnp.where(g_ok, T_g, guess)
-
-        # Stage 1: coarse NDT pre-align from `guess` — identity (the reference's ICP guess
-        # at `:318`) unless the FPFH+RANSAC global init above succeeded.
-        ndt_map = build_ndt_map(
-            filtered.points, filtered.mask, jnp.float32(4.0),
-            capacity=self.capacity.voxel_capacity // 4,
-        )
-        pre = ndt_mod.ndt_align(
-            ndt_map, src_cloud.points, src_cloud.mask, guess,
-            step_size=0.4, max_iterations=16,
-        )
-        # Stage 2: refine with the configured verifier (`get_registration` factory,
-        # `graph_based_slam.cpp:77-155`; default ICP per `param.yaml:9`). The decision
-        # quantity is always the PCL-style fitness score (`:320-328`), computed uniformly
-        # by `fitness_score` so the 0.3 gate means the same thing for every method.
-        # NN grid cell: the configured correspondence distance, capped at 2 m — the NDT
-        # pre-align already brings correspondences within ~a cell, so the reference's
-        # 30 m default (`graph_based_slam.cpp:146`, which compensates for its identity
-        # guess) would only blur the NN search here. Values below 2 m are honored exactly.
         corr_dist = min(self.cfg.icp.max_correspondence_distance, 2.0)
-        grid = build_hash_grid(filtered.points, filtered.mask, corr_dist)
-        if self.method == "ICP":
-            # After the coarse pre-align correspondences sit within ~a cell, so the 7-cell
-            # neighborhood suffices (4x fewer gather indices than the 27-cell search).
-            res = icp_mod.icp_align(
-                grid, src_cloud.points, src_cloud.mask, pre.transform,
-                max_correspondence_distance=corr_dist,
-                max_iterations=self.cfg.icp.max_iterations,
-                transform_epsilon=max(self.cfg.icp.transform_epsilon, 1e-7),
-                euclidean_fitness_epsilon=self.cfg.icp.euclidean_fitness_epsilon,
-                bucket_cap=16, neighborhood=7,
+
+        # Per-candidate target builds (host loop dispatching jitted builders); the
+        # iterative verification itself runs as ONE batched device program below.
+        grids, pre_maps, extras, guesses = [], [], [], []
+        for cand in cands:
+            submap = self._assemble_submap(cand, self.cfg.search_key_frame_num)
+            sub_cloud = PointCloud.from_array(
+                submap, capacity=self.capacity.loop_submap_points
             )
-        elif self.method == "GICP":
+            filtered = voxel_downsample(
+                sub_cloud.points, sub_cloud.mask, jnp.float32(self.cfg.loop_submap_leaf),
+                capacity=self.capacity.loop_submap_points,
+            )
+            # Stage 0 (optional): FPFH+RANSAC global initial guess — recovers candidates
+            # with drift far outside any local verifier's basin (the reference has no
+            # counterpart; its identity guess at `:318` relies on a 30 m corr distance).
+            guess = jnp.eye(4)
+            if self.cfg.use_global_init:
+                from lidar_graph_slam_tpu.registration.features import global_register
+
+                gr = self.cfg.global_reg
+                T_g, _, g_ok = global_register(
+                    src_cloud.points, src_cloud.mask, filtered.points, filtered.mask,
+                    keypoint_leaf=gr.keypoint_leaf, normal_k=gr.normal_k, fpfh_k=gr.fpfh_k,
+                    hypotheses=gr.hypotheses, inlier_threshold=gr.inlier_threshold,
+                    min_occupancy=gr.min_occupancy, max_keypoints=gr.max_keypoints,
+                    src_viewpoint=T_latest[:3, 3],
+                    tgt_viewpoint=self._poses_host[cand][:3, 3],
+                )
+                guess = jnp.where(g_ok, T_g, guess)
+            guesses.append(guess)
+            grids.append(build_hash_grid(filtered.points, filtered.mask, corr_dist))
+            pre_maps.append(build_ndt_map(
+                filtered.points, filtered.mask, jnp.float32(4.0),
+                capacity=self.capacity.voxel_capacity // 4,
+            ))
+            if self.method == "GICP":
+                from lidar_graph_slam_tpu.registration import gicp as gicp_mod
+
+                extras.append(gicp_mod.build_gicp_target(
+                    filtered.points, filtered.mask,
+                    self.cfg.gicp.max_correspondence_distance,
+                    k=self.cfg.gicp.correspondence_randomness,
+                ))
+            elif self.method == "NDT":
+                extras.append(build_ndt_map(
+                    filtered.points, filtered.mask, jnp.float32(self.cfg.ndt.resolution),
+                    capacity=self.capacity.voxel_capacity // 4,
+                ))
+            else:
+                extras.append(jnp.zeros((1,), jnp.float32))  # unused lane for ICP
+
+        if self.method == "GICP":
             from lidar_graph_slam_tpu.registration import gicp as gicp_mod
 
-            cell = self.cfg.gicp.max_correspondence_distance
-            tgt = gicp_mod.build_gicp_target(
-                filtered.points, filtered.mask, cell, k=self.cfg.gicp.correspondence_randomness
-            )
             src_covs, _ = gicp_mod.estimate_covariances(
-                src_cloud.points, src_cloud.mask, cell,
+                src_cloud.points, src_cloud.mask,
+                self.cfg.gicp.max_correspondence_distance,
                 k=self.cfg.gicp.correspondence_randomness,
             )
-            res = gicp_mod.gicp_align(
-                tgt, src_cloud.points, src_cloud.mask, pre.transform, src_covs,
-                max_correspondence_distance=cell,
-                transform_epsilon=max(self.cfg.gicp.transform_epsilon, 1e-7),
-                max_iterations=self.cfg.gicp.max_iterations,
-            )
-        else:  # NDT
-            nmap = build_ndt_map(
-                filtered.points, filtered.mask, jnp.float32(self.cfg.ndt.resolution),
-                capacity=self.capacity.voxel_capacity // 4,
-            )
-            res = ndt_mod.ndt_align(
-                nmap, src_cloud.points, src_cloud.mask, pre.transform,
-                step_size=self.cfg.ndt.step_size,
-                transform_epsilon=self.cfg.ndt.transform_epsilon,
-                outlier_ratio=self.cfg.ndt.outlier_ratio,
-                max_iterations=self.cfg.ndt.max_iterations,
-            )
-        score = icp_mod.fitness_score(
-            grid, src_cloud.points, src_cloud.mask, res.transform, max_range=corr_dist,
-            bucket_cap=16, neighborhood=7, mode=self.cfg.fitness_mode,
-        )
-        icp_T, fitness_f, converged_b = jax.device_get(
-            (res.transform, score, res.converged)
-        )
-        fitness = float(fitness_f)
-        converged = bool(converged_b)
-        record = {
-            "latest": latest,
-            "candidate": cand,
-            "fitness": fitness,
-            "converged": converged,
-            "accepted": False,
-            "transform": np.asarray(icp_T),  # verifier's map-frame correction
-        }
-        self.loop_log.append(record)
-        if not converged or fitness >= self.cfg.score_threshold:
-            return False
+        else:
+            src_covs = jnp.zeros((1, 3, 3), jnp.float32)
 
-        # Loop factor: corrected latest pose vs candidate pose (`:330-341`).
-        # icp transform maps current-map-frame latest cloud onto the candidate submap,
-        # so the corrected latest pose is icp_T @ T_latest.
-        T_corrected = np.asarray(icp_T) @ T_latest
-        T_cand = self._poses_host[cand]
-        Z = jnp.asarray(np.linalg.inv(T_corrected) @ T_cand)  # between(latest, cand)
-        info = jnp.full((6,), 1.0 / max(fitness, 1e-6), dtype=jnp.float32)
-        self.graph = solver.graph_add_loop(
-            self.graph, jnp.asarray(latest), jnp.asarray(cand), Z, info
+        from lidar_graph_slam_tpu.parallel.distributed import shard_batch, stack_pytrees
+
+        batched = (
+            stack_pytrees(grids), stack_pytrees(pre_maps), stack_pytrees(extras),
+            jnp.stack(guesses),
         )
-        self.n_loops += 1
-        self.graph = solver.optimize(self.graph, max_iterations=15)
+        shared = (src_cloud.points, src_cloud.mask, src_covs)
+        if self.mesh is not None:
+            batched, shared = shard_batch(self.mesh, batched, shared)
+        if self._verify_fn is None:
+            self._verify_fn = self._build_verify_fn()
+        Ts_d, scores_d, convs_d = self._verify_fn(*batched, *shared)
+        Ts, scores, convs = jax.device_get((Ts_d, scores_d, convs_d))
+
+        any_accepted = False
+        for b, cand in enumerate(cands):
+            fitness = float(scores[b])
+            converged = bool(convs[b])
+            record = {
+                "latest": latest,
+                "candidate": cand,
+                "fitness": fitness,
+                "converged": converged,
+                "accepted": False,
+                "transform": np.asarray(Ts[b]),  # verifier's map-frame correction
+            }
+            self.loop_log.append(record)
+            if not converged or fitness >= self.cfg.score_threshold:
+                continue
+            if self.n_loops >= self.capacity.max_loop_factors:
+                record["overflow"] = True
+                self.loop_overflow = True
+                continue
+            # Loop factor: corrected latest pose vs candidate pose (`:330-341`).
+            # The verifier transform maps current-map-frame latest cloud onto the
+            # candidate submap, so the corrected latest pose is T_b @ T_latest.
+            T_corrected = np.asarray(Ts[b]) @ T_latest
+            T_cand = self._poses_host[cand]
+            Z = jnp.asarray(np.linalg.inv(T_corrected) @ T_cand)  # between(latest, cand)
+            info = jnp.full((6,), 1.0 / max(fitness, 1e-6), dtype=jnp.float32)
+            self.graph = solver.graph_add_loop(
+                self.graph, jnp.asarray(latest), jnp.asarray(cand), Z, info
+            )
+            self.n_loops += 1
+            record["accepted"] = True
+            any_accepted = True
+
+        if not any_accepted:
+            return False
+        self._run_optimize()
         # Refresh the host pose mirror with one batched read (the reference's deferred
         # `adjust_pose`, `graph_based_slam.cpp:417-432`).
         self._poses_host = list(
             np.asarray(jax.device_get(self.graph.poses[: self.n_keyframes]))
         )
         self.is_loop_closed = True
-        record["accepted"] = True
         return True
+
+    def _run_optimize(self) -> None:
+        """Global re-solve after factor insertion: Schur/psum-distributed LM over the
+        mesh when configured (`ParallelConfig`), single-chip LM otherwise. 30 LM
+        iterations runs the solve to its f32 floor, so the mesh and single-chip paths
+        land on the same optimum (transient LM-path divergence dies out; verified to
+        ~3 mm by tests/test_pipeline_mesh.py)."""
+        if self.mesh is not None:
+            from lidar_graph_slam_tpu.parallel.distributed import mesh_optimize
+
+            self.graph = mesh_optimize(
+                self.mesh, self.graph, max_iterations=30, solver=self.backend_solver
+            )
+        else:
+            self.graph = solver.optimize(self.graph, max_iterations=30)
 
     def on_frame(self) -> bool:
         """Per-frame cadence hook: runs a loop check every `loop_search_period_frames`

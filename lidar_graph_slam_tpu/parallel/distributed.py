@@ -107,62 +107,58 @@ def _local_chain_blocks(poses, odom_meas, pose_mask, info, lo, length, K):
     return D, U, b
 
 
-def distributed_graph_step(mesh: Mesh, g: gsolver.PoseGraph, damping: float = 1e-4):
+def distributed_graph_step(mesh: Mesh, g: gsolver.PoseGraph, damping=1e-4):
     """One distributed damped-GN step on the pose graph.
 
     Linearization of the odometry chain is sharded over the mesh axis; block systems are
-    psum-reduced; the tridiagonal solve runs replicated. Returns updated poses [K, 4, 4].
+    psum-reduced; the tridiagonal solve runs replicated. `damping` is traced (an LM
+    driver adapts it per iteration without recompiles). Returns updated poses [K, 4, 4].
     """
+    return _distributed_graph_step_jit(mesh, g, jnp.asarray(damping, g.poses.dtype))
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def _distributed_graph_step_jit(mesh: Mesh, g: gsolver.PoseGraph, damping):
     K = g.poses.shape[0]
     n_dev = mesh.devices.size
     shard = -(-K // n_dev)  # factors per device (ceil)
 
-    @partial(
-        jax.jit,
-        static_argnums=(),
-    )
-    def step(g):
-        def device_fn(dev_idx):
-            lo = dev_idx * shard
-            return _local_chain_blocks(
-                g.poses, g.odom_meas, g.pose_mask, g.odom_info, lo, shard, K
-            )
+    def spmd(idx_ref):
+        # idx_ref: [1] int32 — this device's index along the mesh axis.
+        lo = idx_ref[0] * shard
+        D, U, b = _local_chain_blocks(
+            g.poses, g.odom_meas, g.pose_mask, g.odom_info, lo, shard, K
+        )
+        D = jax.lax.psum(D, "scan")
+        U = jax.lax.psum(U, "scan")
+        b = jax.lax.psum(b, "scan")
+        return D, U, b
 
-        def spmd(idx_ref):
-            # idx_ref: [1] int32 — this device's index along the mesh axis.
-            D, U, b = device_fn(idx_ref[0])
-            D = jax.lax.psum(D, "scan")
-            U = jax.lax.psum(U, "scan")
-            b = jax.lax.psum(b, "scan")
-            return D, U, b
+    idx = jnp.arange(n_dev, dtype=jnp.int32)
+    D, U, b = jax.shard_map(
+        spmd,
+        mesh=mesh,
+        in_specs=(P("scan"),),
+        out_specs=(P(), P(), P()),
+    )(idx)
 
-        idx = jnp.arange(n_dev, dtype=jnp.int32)
-        D, U, b = jax.shard_map(
-            spmd,
-            mesh=mesh,
-            in_specs=(P("scan"),),
-            out_specs=(P(), P(), P()),
-        )(idx)
+    dtype = g.poses.dtype
+    # Prior factor + masking + damping (replicated, cheap).
+    r0 = se3.se3_log(se3.inverse(g.prior_pose) @ g.poses[0])
+    J0 = gsolver._jr_inv(r0)
+    J0W = jnp.swapaxes(J0, -1, -2) * g.odom_info[None, :]
+    D = D.at[0].add(J0W @ J0)
+    b = b.at[0].add(-(J0W @ r0[:, None])[:, 0])
+    active = g.pose_mask.astype(dtype)
+    eye6 = jnp.eye(6, dtype=dtype)
+    D = active[:, None, None] * D + (1.0 - active)[:, None, None] * eye6
+    D = D + damping * active[:, None, None] * eye6
+    b = active[:, None] * b
 
-        dtype = g.poses.dtype
-        # Prior factor + masking + damping (replicated, cheap).
-        r0 = se3.se3_log(se3.inverse(g.prior_pose) @ g.poses[0])
-        J0 = gsolver._jr_inv(r0)
-        J0W = jnp.swapaxes(J0, -1, -2) * g.odom_info[None, :]
-        D = D.at[0].add(J0W @ J0)
-        b = b.at[0].add(-(J0W @ r0[:, None])[:, 0])
-        active = g.pose_mask.astype(dtype)
-        eye6 = jnp.eye(6, dtype=dtype)
-        D = active[:, None, None] * D + (1.0 - active)[:, None, None] * eye6
-        D = D + damping * active[:, None, None] * eye6
-        b = active[:, None] * b
-
-        # Loop factors (tiny): linearize replicated, fold in via Woodbury as in the
-        # single-chip solver.
-        delta = _woodbury_solve(g, D, U, b)
-        return g.poses @ se3.se3_exp(jnp.where(jnp.isfinite(delta), delta, 0.0))
-
-    return step(g)
+    # Loop factors (tiny): linearize replicated, fold in via Woodbury as in the
+    # single-chip solver.
+    delta = _woodbury_solve(g, D, U, b)
+    return g.poses @ se3.se3_exp(jnp.where(jnp.isfinite(delta), delta, 0.0))
 
 
 def _woodbury_solve(g: gsolver.PoseGraph, D, U, b):
@@ -171,3 +167,75 @@ def _woodbury_solve(g: gsolver.PoseGraph, D, U, b):
     rhs = jnp.concatenate([(b + b_loop)[..., None], Vw], axis=-1)
     sol = gsolver._tridiag_solve(D, U, rhs)
     return gsolver.woodbury_correct(Vw, sol[..., 0], sol[..., 1:])
+
+
+# --- mesh-distributed LM optimize (the live back end's solve path) -----------------------
+
+
+_mesh_cost = jax.jit(gsolver.graph_cost)
+
+
+def mesh_optimize(
+    mesh: Mesh,
+    g: gsolver.PoseGraph,
+    max_iterations: int = 15,
+    init_damping: float = 1e-4,
+    solver: str = "schur",
+) -> gsolver.PoseGraph:
+    """Levenberg-Marquardt over the pose graph with the solve distributed over the mesh.
+
+    The mesh analog of `graph/solver.py:optimize` — same damping schedule, same masked
+    accept/reject — but each GN step runs either domain-decomposed (`solver="schur"`,
+    `parallel/schur.py`) or with sharded linearization + psum reduction
+    (`solver="chain"`). Accept/reject runs host-side: loop closures are rare events and
+    the per-iteration cost compare is two scalars; every device program involved is
+    compile-cached (static mesh, traced damping).
+    """
+    from lidar_graph_slam_tpu.parallel import schur as schur_mod
+
+    if solver == "schur":
+        step = lambda gg, d: schur_mod.schur_graph_step(mesh, gg, d)  # noqa: E731
+    elif solver == "chain":
+        step = lambda gg, d: distributed_graph_step(mesh, gg, d)      # noqa: E731
+    else:
+        raise ValueError(f"unknown mesh solver {solver!r}")
+
+    poses = g.poses
+    damping = float(init_damping)
+    for _ in range(max_iterations):
+        cur = g.replace(poses=poses)
+        cand = step(cur, damping)
+        cost0, cost1 = jax.device_get(
+            (_mesh_cost(g, poses), _mesh_cost(g, cand))
+        )
+        if np.isfinite(cost1) and cost1 < cost0:
+            poses = cand
+            damping = max(damping * 0.3, 1e-9)
+        else:
+            damping = min(damping * 8.0, 1e6)
+    return g.replace(poses=poses)
+
+
+# --- batched top-k loop verification -----------------------------------------------------
+
+
+def stack_pytrees(trees):
+    """Stack a list of identically-shaped pytrees along a new leading batch axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def shard_batch(mesh: Mesh, batched_tree, shared_tree):
+    """Lay out a batched verification problem on the mesh: batch-leading pytrees sharded
+    along the mesh axis, shared (per-source) arrays replicated. A batch that does not
+    divide the mesh is left on the default device (a sub-mesh batch gains nothing from
+    sharding; the jitted program runs unchanged either way)."""
+    axis = list(mesh.shape.keys())[0]
+    n_dev = mesh.devices.size
+    batch = jax.tree.leaves(batched_tree)[0].shape[0]
+    if batch % n_dev != 0:
+        return batched_tree, shared_tree
+    b_sh = NamedSharding(mesh, P(axis))
+    r_sh = NamedSharding(mesh, P())
+    batched = jax.tree.map(lambda x: jax.device_put(x, b_sh), batched_tree)
+    shared = jax.tree.map(lambda x: jax.device_put(x, r_sh), shared_tree)
+    return batched, shared

@@ -69,10 +69,20 @@ def schur_tridiag_solve(mesh: Mesh, D_blocks, U_blocks, B):
     (U_blocks[K-1] must be zero); B: [K, 6, M]. K must divide by the mesh size.
     Returns x [K, 6, M].
     """
+    K = D_blocks.shape[0]
+    n_dev = mesh.devices.size
+    assert K % n_dev == 0, f"K={K} not divisible by mesh size {n_dev}"
+    return _schur_tridiag_solve_jit(mesh, D_blocks, U_blocks, B)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def _schur_tridiag_solve_jit(mesh: Mesh, D_blocks, U_blocks, B):
+    """Cached-compile body of `schur_tridiag_solve` (the mesh is a static argument, so
+    repeated LM iterations reuse one executable instead of retracing a fresh shard_map
+    closure per call)."""
     axis = list(mesh.shape.keys())[0]
     n_dev = mesh.devices.size
     K = D_blocks.shape[0]
-    assert K % n_dev == 0, f"K={K} not divisible by mesh size {n_dev}"
     m = K // n_dev
     M = B.shape[-1]
     dtype = D_blocks.dtype
@@ -146,39 +156,41 @@ def schur_tridiag_solve(mesh: Mesh, D_blocks, U_blocks, B):
     )(D_blocks, U_blocks, B)
 
 
-def schur_graph_step(mesh: Mesh, g: gsolver.PoseGraph, damping: float = 1e-4):
+# NOTE: assembly and the shard_map solve are deliberately SEPARATE compiled programs
+# with an explicit sharded hand-off. Fusing them into one jit miscompiles on the
+# virtual-device CPU backend (deterministic large errors in the shard_map output;
+# assembly outputs verified bit-identical, and the same solve on materialized inputs
+# is exact). Two dispatches cost one HBM round trip of the assembled blocks — noise
+# next to the solve itself.
+@jax.jit
+def _schur_assemble(g: gsolver.PoseGraph, damping):
+    dtype = g.poses.dtype
+    D, U, b = gsolver._assemble_chain(g, g.poses, jnp.asarray(damping, dtype))
+    U_pad = jnp.concatenate([U, jnp.zeros((1, 6, 6), dtype)], axis=0)
+    b_loop, Vw = gsolver.loop_gradient_and_whitened_columns(g, g.poses)
+    rhs = jnp.concatenate([(b + b_loop)[..., None], Vw], axis=-1)
+    return D, U_pad, rhs, Vw
+
+
+@jax.jit
+def _schur_finalize(g: gsolver.PoseGraph, Vw, sol):
+    delta = gsolver.woodbury_correct(Vw, sol[..., 0], sol[..., 1:])
+    delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+    return g.poses @ se3.se3_exp(delta)
+
+
+def schur_graph_step(mesh: Mesh, g: gsolver.PoseGraph, damping=1e-4):
     """One damped-GN pose-graph step with the Schur-distributed tridiagonal solve.
 
     Linearization reuses the single-chip assembly; the solve (chain + Woodbury loop
-    corrections) runs domain-decomposed over the mesh. Returns updated poses.
+    corrections) runs domain-decomposed over the mesh. `damping` is traced (an LM
+    driver adapts it per iteration without recompiles). Returns updated poses.
     """
-    dtype = g.poses.dtype
     axis = list(mesh.shape.keys())[0]
-
-    # NOTE: assembly and the shard_map solve are deliberately SEPARATE compiled programs
-    # with an explicit sharded hand-off. Fusing them into one jit miscompiles on the
-    # virtual-device CPU backend (deterministic large errors in the shard_map output;
-    # assembly outputs verified bit-identical, and the same solve on materialized inputs
-    # is exact). Two dispatches cost one HBM round trip of the assembled blocks — noise
-    # next to the solve itself.
-    @jax.jit
-    def assemble(g):
-        D, U, b = gsolver._assemble_chain(g, g.poses, jnp.asarray(damping, dtype))
-        U_pad = jnp.concatenate([U, jnp.zeros((1, 6, 6), dtype)], axis=0)
-        b_loop, Vw = gsolver.loop_gradient_and_whitened_columns(g, g.poses)
-        rhs = jnp.concatenate([(b + b_loop)[..., None], Vw], axis=-1)
-        return D, U_pad, rhs, Vw
-
-    @jax.jit
-    def finalize(g, Vw, sol):
-        delta = gsolver.woodbury_correct(Vw, sol[..., 0], sol[..., 1:])
-        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
-        return g.poses @ se3.se3_exp(delta)
-
-    D, U_pad, rhs, Vw = assemble(g)
+    D, U_pad, rhs, Vw = _schur_assemble(g, jnp.asarray(damping, g.poses.dtype))
     from jax.sharding import NamedSharding
 
     sh = NamedSharding(mesh, P(axis))
     D, U_pad, rhs = (jax.device_put(x, sh) for x in (D, U_pad, rhs))
     sol = schur_tridiag_solve(mesh, D, U_pad, rhs)
-    return finalize(g, Vw, sol)
+    return _schur_finalize(g, Vw, sol)

@@ -49,7 +49,20 @@ class SlamPipeline:
         self.metrics_writer = MetricsWriter(metrics_path)
         self.cfg = cfg
         cap = cfg.capacity
-        self.back = GraphBasedSLAM(cfg.graph_slam, cap)
+        # Mesh parallelism (ParallelConfig): the back end's pose-graph solve runs
+        # Schur-distributed and top-k loop verification shards over the mesh. The front
+        # end stays single-device — its parallel axis is the point dimension, which one
+        # chip's VPU/MXU already saturates; scaling the front end across chips is the
+        # multi-sequence path (parallel/multi_sequence.py).
+        self.mesh = None
+        if cfg.parallel.use_mesh:
+            from lidar_graph_slam_tpu.parallel.distributed import make_mesh
+
+            self.mesh = make_mesh(cfg.parallel.mesh_devices or None)
+        self.back = GraphBasedSLAM(
+            cfg.graph_slam, cap, mesh=self.mesh,
+            backend_solver=cfg.parallel.backend_solver,
+        )
         self.timings: dict[str, list] = {"prefilter": [], "register": [], "backend": []}
         self.odometry_poses: list[np.ndarray] = []
         self.kf_frame_indices: list[int] = []

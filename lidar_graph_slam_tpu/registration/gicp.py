@@ -104,7 +104,8 @@ def build_gicp_target(points, mask, cell_size, k: int = 20) -> GicpTarget:
     return GicpTarget(grid=grid, covs=covs, valid=ok)
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "k", "bucket_cap", "reciprocal"))
+@partial(jax.jit, static_argnames=("max_iterations", "k", "bucket_cap", "reciprocal",
+                                   "use_pallas"))
 def gicp_align(
     target: GicpTarget,
     source_points: jax.Array,
@@ -118,6 +119,7 @@ def gicp_align(
     bucket_cap: int = 32,
     reciprocal: bool = False,
     source_grid: HashGrid | None = None,
+    use_pallas: bool | None = None,
 ) -> RegistrationResult:
     """Plane-to-plane GICP: minimize sum e^T (C_q + R C_p R^T)^-1 e over SE(3).
 
@@ -128,7 +130,10 @@ def gicp_align(
     once from the untransformed source (`source_grid`, required when reciprocal)."""
     corr2 = max_correspondence_distance * max_correspondence_distance
     n = source_points.shape[0]
-    use_pallas = jax.devices()[0].platform != "cpu" and n % 128 == 0
+    if use_pallas is None:
+        # Auto-select; pass False when running under vmap (no Pallas batching rule —
+        # the batched loop verifier does this).
+        use_pallas = jax.devices()[0].platform != "cpu" and n % 128 == 0
     if reciprocal and source_grid is None:
         raise ValueError("reciprocal=True requires source_grid")
 

@@ -48,7 +48,7 @@ def magnusson_constants(resolution: float, outlier_ratio: float):
     return d1, d2
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "polish_iterations"))
+@partial(jax.jit, static_argnames=("max_iterations", "polish_iterations", "use_pallas"))
 def ndt_align(
     vmap: NdtVoxelMap,
     source_points: jax.Array,
@@ -59,8 +59,13 @@ def ndt_align(
     outlier_ratio: float = 0.55,
     max_iterations: int = 64,
     polish_iterations: int = 2,
+    use_pallas: bool | None = None,
 ) -> RegistrationResult:
-    """Align a masked source cloud to an NDT voxel map. Returns source->map transform."""
+    """Align a masked source cloud to an NDT voxel map. Returns source->map transform.
+
+    `use_pallas=None` auto-selects the fused Pallas accumulation on TPU; pass False to
+    force the identical-math XLA path — required when this runs under `vmap` (the Pallas
+    kernel has no batching rule; the batched loop verifier does this)."""
     d1, d2 = magnusson_constants(vmap.leaf, outlier_ratio)
     w_scale = -d1 * d2  # > 0: d1 < 0 by construction
 
@@ -68,9 +73,8 @@ def ndt_align(
     # identical-math XLA path. The correspondence count N*7 is lane-aligned for all
     # power-of-two capacities >= 128.
     n = source_points.shape[0]
-    use_pallas = (
-        jax.devices()[0].platform != "cpu" and (n * 7) % 128 == 0
-    )
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform != "cpu" and (n * 7) % 128 == 0
 
     def body(carry):
         T, done, iters, _fitness, _inliers = carry
