@@ -137,6 +137,8 @@ def bench_e2e(n_frames=60):
     seq = SyntheticSequence(
         n_frames=n_frames, seed=1, extent=60.0, radius=35.0, max_points=131072,
         noise=0.02, laps=1.1,
+        # HDL-64-shaped beam grid (2048 azimuth x 64 elevation ≈ 131k beams).
+        n_azimuth=2048, n_elevation=64,
     )
     # Dense world so raw scans approach the Velodyne HDL-64 ~131k-point shape.
     rng = np.random.default_rng(1)

@@ -293,6 +293,7 @@ class GraphBasedSLAM:
         # Per-candidate target builds (host loop dispatching jitted builders); the
         # iterative verification itself runs as ONE batched device program below.
         grids, pre_maps, extras, guesses = [], [], [], []
+        global_diags: list[dict] = []  # RANSAC family-yield telemetry (use_global_init)
         for cand in cands:
             submap = self._assemble_submap(cand, self.cfg.search_key_frame_num)
             sub_cloud = PointCloud.from_array(
@@ -310,15 +311,22 @@ class GraphBasedSLAM:
                 from lidar_graph_slam_tpu.registration.features import global_register
 
                 gr = self.cfg.global_reg
-                T_g, _, g_ok = global_register(
+                T_g, _, g_ok, g_diag = global_register(
                     src_cloud.points, src_cloud.mask, filtered.points, filtered.mask,
                     keypoint_leaf=gr.keypoint_leaf, normal_k=gr.normal_k, fpfh_k=gr.fpfh_k,
                     hypotheses=gr.hypotheses, inlier_threshold=gr.inlier_threshold,
                     min_occupancy=gr.min_occupancy, max_keypoints=gr.max_keypoints,
                     src_viewpoint=T_latest[:3, 3],
                     tgt_viewpoint=self._poses_host[cand][:3, 3],
+                    return_diag=True,
                 )
                 guess = jnp.where(g_ok, T_g, guess)
+                gd = jax.device_get(g_diag)
+                global_diags.append({
+                    "n_3pt_valid": int(gd["n_3pt_valid"]),
+                    "n_yaw_valid": int(gd["n_yaw_valid"]),
+                    "best_is_yaw": bool(gd["best_is_yaw"]),
+                })
             guesses.append(guess)
             grids.append(build_hash_grid(filtered.points, filtered.mask, corr_dist))
             pre_maps.append(build_ndt_map(
@@ -378,6 +386,8 @@ class GraphBasedSLAM:
                 "accepted": False,
                 "transform": np.asarray(Ts[b]),  # verifier's map-frame correction
             }
+            if global_diags:
+                record["ransac_families"] = global_diags[b]
             self.loop_log.append(record)
             if not converged or fitness >= self.cfg.score_threshold:
                 continue
@@ -447,9 +457,19 @@ class GraphBasedSLAM:
 
     def assemble_map(self, resolution: float = 0.0, max_points: Optional[int] = None) -> np.ndarray:
         """All keyframe clouds under optimized poses; optional voxel filter at `resolution`
-        (`save_map_service` `:473-494`)."""
+        (`save_map_service` `:473-494`).
+
+        Cached per (n_keyframes, n_loops, resolution): poses only change through
+        keyframe appends or post-loop optimizes, both of which bump those counters —
+        so back-to-back exports (the CLI saves AND renders) assemble once instead of
+        re-concatenating every cloud per call (the O(N*pts) pattern SURVEY.md §7
+        flagged in the reference's `publish_map`, `graph_based_slam.cpp:448-467`)."""
         if self.n_keyframes == 0:
             return np.zeros((0, 3), dtype=np.float32)
+        key = (self.n_keyframes, self.n_loops, float(resolution), max_points)
+        cached = getattr(self, "_map_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         poses = self.optimized_poses()
         chunks = [
             self.kf_clouds[k] @ poses[k][:3, :3].T + poses[k][:3, 3]
@@ -463,6 +483,7 @@ class GraphBasedSLAM:
                 cloud.points, cloud.mask, jnp.float32(resolution), capacity=cap
             )
             pts = np.asarray(grid.points)[np.asarray(grid.mask)]
+        self._map_cache = (key, pts)
         return pts
 
     def save_map(self, path: str, resolution: float = 0.0) -> bool:

@@ -87,14 +87,45 @@ def simulate_scan(
     min_range: float = 1.5,
     max_points: int = 16384,
     noise: float = 0.02,
+    occlusion: bool = True,
+    n_azimuth: int = 720,
+    n_elevation: int = 32,
+    elevation_range: tuple = (-0.4363, 0.2618),  # [-25 deg, +15 deg], VLP-32-like
 ) -> np.ndarray:
-    """Sensor-frame scan [k, 3] (k <= max_points): world points within range of the sensor,
-    expressed in the sensor frame, range-subsampled, with additive Gaussian noise."""
+    """Sensor-frame scan [k, 3] (k <= max_points) with a ray-cast sensor model.
+
+    `occlusion=True` (default): Velodyne-like scanline sampling — each world point in
+    range maps to an (azimuth, elevation) beam bin and only the NEAREST return per bin
+    survives, so surfaces hide what is behind them and the vertical field of view is
+    bounded like a real spinning lidar. This is the parity instrument standing in for
+    the reference's real-sensor validation (`/root/reference/README.md:31`): the round-2
+    occlusion-free sampler saw through walls and materially overstated registration ease
+    (VERDICT r02 item 4). `occlusion=False` keeps the old isotropic range-ball sampler
+    for A/B diagnostics.
+    """
     R, t = pose[:3, :3], pose[:3, 3]
     local = (world - t) @ R  # world -> sensor (R^T applied from the right)
-    rng2 = np.einsum("ij,ij->i", local, local)
-    keep = (rng2 < max_range * max_range) & (rng2 > min_range * min_range)
+    r2 = np.einsum("ij,ij->i", local, local)
+    keep = (r2 < max_range * max_range) & (r2 > min_range * min_range)
     local = local[keep]
+    if occlusion and local.shape[0] > 0:
+        r = np.sqrt(r2[keep])
+        az = np.arctan2(local[:, 1], local[:, 0])                  # [-pi, pi)
+        el = np.arcsin(np.clip(local[:, 2] / r, -1.0, 1.0))
+        el_lo, el_hi = elevation_range
+        in_fov = (el >= el_lo) & (el < el_hi)
+        local, r, az, el = local[in_fov], r[in_fov], az[in_fov], el[in_fov]
+        az_bin = (((az + np.pi) / (2 * np.pi)) * n_azimuth).astype(np.int64) % n_azimuth
+        el_bin = np.clip(
+            ((el - el_lo) / (el_hi - el_lo) * n_elevation).astype(np.int64),
+            0, n_elevation - 1,
+        )
+        beam = az_bin * n_elevation + el_bin
+        # Nearest return per beam: sort by range, keep each beam's first occurrence.
+        order = np.argsort(r, kind="stable")
+        beam_sorted = beam[order]
+        _, first = np.unique(beam_sorted, return_index=True)
+        local = local[order[first]]
     if local.shape[0] > max_points:
         idx = rng.choice(local.shape[0], size=max_points, replace=False)
         local = local[idx]
@@ -113,6 +144,9 @@ class SyntheticSequence:
         max_points: int = 16384,
         noise: float = 0.02,
         laps: float = 1.08,
+        occlusion: bool = True,
+        n_azimuth: int = 720,
+        n_elevation: int = 32,
     ):
         self.rng = np.random.default_rng(seed)
         self.world = make_world(self.rng, extent=extent)
@@ -120,6 +154,9 @@ class SyntheticSequence:
         self.max_points = max_points
         self.noise = noise
         self.n_frames = n_frames
+        self.occlusion = occlusion
+        self.n_azimuth = n_azimuth
+        self.n_elevation = n_elevation
 
     def __len__(self):
         return self.n_frames
@@ -127,6 +164,8 @@ class SyntheticSequence:
     def __iter__(self):
         for i in range(self.n_frames):
             scan = simulate_scan(
-                self.world, self.poses[i], self.rng, max_points=self.max_points, noise=self.noise
+                self.world, self.poses[i], self.rng, max_points=self.max_points,
+                noise=self.noise, occlusion=self.occlusion,
+                n_azimuth=self.n_azimuth, n_elevation=self.n_elevation,
             )
             yield scan, self.poses[i]

@@ -281,6 +281,9 @@ def ransac_align(
 
     T_h = _kabsch(s3, t3, jnp.ones((hypotheses, 3), src_kp.dtype))  # [H, 4, 4]
     h_ok = s_ok & shape_ok
+    h_ok_3pt = h_ok  # pre-merge view for the family-yield diagnostics below
+    yaw_ok = jnp.zeros((hypotheses,), bool)
+    second_half = jnp.zeros((hypotheses,), bool)
 
     if src_normals is not None and tgt_normals is not None:
         # 1-point yaw family: replace the second half of the hypothesis buffer.
@@ -331,7 +334,15 @@ def ransac_align(
     hits = occupancy_score(T_out)
     n_src = jnp.maximum(jnp.sum(src_valid.astype(jnp.int32)), 1)
     ok = (score[best] > 0) & (hits >= (min_occupancy * n_src).astype(jnp.int32))
-    return T_out, hits, ok
+    # Family-yield diagnostics ("no silent caps"): with normals, the 3-point family is
+    # silently halved to hypotheses/2 in favor of 1-point-yaw — report each family's
+    # valid-hypothesis count and which family won so a starved budget is visible.
+    diag = {
+        "n_3pt_valid": jnp.sum((h_ok_3pt & ~second_half).astype(jnp.int32)),
+        "n_yaw_valid": jnp.sum((yaw_ok & second_half).astype(jnp.int32)),
+        "best_is_yaw": second_half[best],
+    }
+    return T_out, hits, ok, diag
 
 
 def global_register(
@@ -349,6 +360,7 @@ def global_register(
     src_viewpoint=None,
     tgt_viewpoint=None,
     seed: int = 0,
+    return_diag: bool = False,
 ):
     """FPFH + RANSAC coarse registration of two masked clouds: (T src->tgt, hits, ok).
 
@@ -356,6 +368,8 @@ def global_register(
     verifier as its initial guess, replacing the identity guess of
     `graph_based_slam.cpp:318` when drift exceeds the verifier's basin. `ok` requires a
     `min_occupancy` fraction of valid source keypoints to land in target-occupied voxels.
+    Pass `return_diag=True` for a 4th element: the RANSAC family-yield diagnostics
+    (3-point vs 1-point-yaw valid counts and the winning family).
     """
     def prep(points, mask, viewpoint):
         g = voxel_downsample(points, mask, jnp.float32(keypoint_leaf), capacity=max_keypoints)
@@ -370,10 +384,12 @@ def global_register(
     s_kp, s_m, s_ok, s_f, s_n = prep(src_points, src_mask, src_viewpoint)
     t_kp, t_m, t_ok, t_f, t_n = prep(tgt_points, tgt_mask, tgt_viewpoint)
     m_idx, m_ok = match_features(s_f, s_ok, t_f, t_ok)
-    T, hits, ok = ransac_align(
+    T, hits, ok, diag = ransac_align(
         s_kp, s_m, t_kp, t_m, m_idx, m_ok, jax.random.PRNGKey(seed),
         src_normals=s_n, tgt_normals=t_n,
         hypotheses=hypotheses, inlier_threshold=inlier_threshold,
         occupancy_leaf=2.0 * keypoint_leaf, min_occupancy=min_occupancy,
     )
+    if return_diag:
+        return T, hits, ok, diag
     return T, hits, ok

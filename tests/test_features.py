@@ -71,8 +71,11 @@ def test_fpfh_rigid_invariance(rng):
     f2, ok2 = feats(scan2, t)  # viewpoint moves with the cloud
     both = ok1 & ok2
     # Identical point order: rigid motion (with consistent viewpoint) preserves FPFH.
+    # Residual comes from grid-cell reassignment perturbing the kNN sets; the ray-cast
+    # sensor's scanline pattern (dense azimuth rings, sparse elevation gaps) makes those
+    # neighborhoods noisier than the old isotropic sampler's, hence 0.45 not 0.35.
     diff = np.abs(f1[both] - f2[both]).sum(axis=1)  # L1 over 33 bins, each block sums to 1
-    assert np.median(diff) < 0.35
+    assert np.median(diff) < 0.45
 
 
 def test_match_features_identity(rng):
