@@ -128,15 +128,21 @@ def bench_pose_graph():
     return out
 
 
-def bench_e2e(n_frames=60):
-    """Full pipeline frames/s on KITTI-shaped raw scans (~100k pts) with loop closure."""
+def bench_e2e(n_frames=180):
+    """Full pipeline frames/s on KITTI-shaped raw scans with loop closure.
+
+    Course realism matters: 180 frames over 1.05 laps of a 35 m circle is ~1.3 m per
+    frame — automotive KITTI motion at 10 Hz (and ≥ the 1.0 m keyframe displacement, so
+    nearly every frame rebuilds the submap, the reference's worst case
+    `lidar_scan_matcher.cpp:199-212`). The round-3 original used 4 m/frame, which no
+    constant-pose-guess matcher (ours or the reference's) can track."""
     from lidar_graph_slam_tpu.core.config import PipelineConfig
     from lidar_graph_slam_tpu.io.synthetic import SyntheticSequence
     from lidar_graph_slam_tpu.pipeline.runner import SlamPipeline
 
     seq = SyntheticSequence(
         n_frames=n_frames, seed=1, extent=60.0, radius=35.0, max_points=131072,
-        noise=0.02, laps=1.1,
+        noise=0.02, laps=1.05,
         # HDL-64-shaped beam grid (2048 azimuth x 64 elevation ≈ 131k beams).
         n_azimuth=2048, n_elevation=64,
     )

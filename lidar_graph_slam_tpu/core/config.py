@@ -233,6 +233,12 @@ class PipelineConfig:
     # classic per-stage driver; hides host<->device latency entirely. False falls back to
     # the stage-by-stage ScanMatcher driver (finer-grained per-stage timings).
     fused_frontend: bool = True
+    # Frames kept in flight by the fused driver before the lagged readback. Depth d means
+    # the submap ring lags a new keyframe by d frames. d=1 (default) is verified benign;
+    # d=2 measured no throughput gain on the tunneled dev chip and costs tracking margin
+    # on high-motion streams (the submap lags 2 frames), so raise it only on hosts whose
+    # dispatch latency demonstrably dominates.
+    pipeline_depth: int = 1
 
 
 # --- loading / overrides ----------------------------------------------------------------

@@ -67,6 +67,11 @@ class GraphBasedSLAM:
                 f"mesh size {mesh.devices.size} for the Schur domain decomposition"
             )
         self._verify_fn = None
+        # Keyframe inserts are deferred and flushed in batches (one dispatch per ~32
+        # keyframes instead of one per keyframe — per-dispatch host-link latency is the
+        # cost driver, not the insert). `self.graph` (property) flushes on read, so every
+        # consumer — loop closure, checkpointing, tests — sees a fully-populated graph.
+        self._pending_kf: list = []
         self.graph = solver.init_graph(
             capacity.max_keyframes, capacity.max_loop_factors, cfg.odom_noise_var
         )
@@ -89,6 +94,34 @@ class GraphBasedSLAM:
         self.keyframe_overflow = False
         self.loop_overflow = False
 
+    # -- deferred device-graph population ------------------------------------------------
+
+    _FLUSH_BATCH = 32
+
+    @property
+    def graph(self) -> solver.PoseGraph:
+        """Device pose graph with all pending keyframe inserts applied."""
+        self._flush_graph()
+        return self._graph
+
+    @graph.setter
+    def graph(self, g: solver.PoseGraph) -> None:
+        self._graph = g
+
+    def _flush_graph(self) -> None:
+        while self._pending_kf:
+            chunk = self._pending_kf[: self._FLUSH_BATCH]
+            self._pending_kf = self._pending_kf[self._FLUSH_BATCH:]
+            B = self._FLUSH_BATCH
+            poses = np.zeros((B, 4, 4), np.float32)
+            odoms = np.zeros((B, 4, 4), np.float32)
+            for i, (p, o) in enumerate(chunk):
+                poses[i], odoms[i] = p, o
+            self._graph = solver.graph_add_keyframes_batch(
+                self._graph, jnp.asarray(poses), jnp.asarray(odoms),
+                jnp.asarray(len(chunk), jnp.int32),
+            )
+
     # -- keyframe insertion (§3.3) ------------------------------------------------------
 
     def add_keyframe(self, kf) -> None:
@@ -110,9 +143,7 @@ class GraphBasedSLAM:
             # (`graph_based_slam.cpp:365-371`).
             prev_opt = self._poses_host[self.n_keyframes - 1]
             pose = (prev_opt @ odom).astype(np.float32)
-        self.graph = solver.graph_add_keyframe(
-            self.graph, jnp.asarray(pose), jnp.asarray(odom)
-        )
+        self._pending_kf.append((pose, odom))
         cloud = np.asarray(kf["cloud"])[np.asarray(kf["cloud_mask"])]
         self.kf_clouds.append(cloud.astype(np.float32))
         self.kf_accum_dist.append(float(kf["accum_distance"]))
@@ -420,20 +451,50 @@ class GraphBasedSLAM:
         self.is_loop_closed = True
         return True
 
+    def _bucket_size(self) -> int:
+        """Active-size bucket for the solve: smallest power-of-two >= n_keyframes
+        (min 256 so at most ~5 distinct compilations over a run). Solving the sliced
+        bucket instead of the full capacity makes solve cost track the LIVE graph —
+        at 40 keyframes in a 4096-capacity graph that is a 16x smaller system."""
+        b = 256
+        while b < self.n_keyframes:
+            b *= 2
+        if self.mesh is not None:
+            n = int(self.mesh.devices.size)
+            while b % n or b // n < 2:  # Schur needs divisibility + >=2 poses/device
+                b *= 2
+        return min(b, self.capacity.max_keyframes)
+
     def _run_optimize(self) -> None:
         """Global re-solve after factor insertion: Schur/psum-distributed LM over the
-        mesh when configured (`ParallelConfig`), single-chip LM otherwise. 30 LM
-        iterations runs the solve to its f32 floor, so the mesh and single-chip paths
-        land on the same optimum (transient LM-path divergence dies out; verified to
-        ~3 mm by tests/test_pipeline_mesh.py)."""
+        mesh when configured (`ParallelConfig`), single-chip LM otherwise. Runs up to
+        30 LM iterations with step-norm early exit, so the mesh and single-chip paths
+        land on the same f32-floor optimum (verified ~3 mm by
+        tests/test_pipeline_mesh.py) while warm re-solves pay ~1 iteration.
+
+        The solve operates on the active-size bucket (see `_bucket_size`); poses are
+        written back into the full-capacity graph."""
+        B = self._bucket_size()
+        g = self.graph
+        full = g.poses.shape[0]
+        if B < full:
+            gb = g.replace(
+                poses=g.poses[:B], pose_mask=g.pose_mask[:B], odom_meas=g.odom_meas[:B]
+            )
+        else:
+            gb = g
         if self.mesh is not None:
             from lidar_graph_slam_tpu.parallel.distributed import mesh_optimize
 
-            self.graph = mesh_optimize(
-                self.mesh, self.graph, max_iterations=30, solver=self.backend_solver
+            gb = mesh_optimize(
+                self.mesh, gb, max_iterations=30, solver=self.backend_solver
             )
         else:
-            self.graph = solver.optimize(self.graph, max_iterations=30)
+            gb = solver.optimize(gb, max_iterations=30)
+        if B < full:
+            self.graph = g.replace(poses=g.poses.at[:B].set(gb.poses))
+        else:
+            self.graph = gb
 
     def on_frame(self) -> bool:
         """Per-frame cadence hook: runs a loop check every `loop_search_period_frames`

@@ -87,6 +87,31 @@ def graph_add_keyframe(g: PoseGraph, pose: jax.Array, odom_meas: jax.Array) -> P
 
 
 @partial(jax.jit, donate_argnames=("g",))
+def graph_add_keyframes_batch(g: PoseGraph, poses: jax.Array, odoms: jax.Array, count: jax.Array) -> PoseGraph:
+    """Append the first `count` of a [B, 4, 4] keyframe batch in ONE dispatch.
+
+    The host-side back end defers per-keyframe inserts and flushes them in batches
+    (per-dispatch host-link latency dominates the tiny insert itself); semantics are
+    exactly `count` sequential `graph_add_keyframe` calls."""
+    K = g.pose_mask.shape[0]
+
+    def body(i, g):
+        k = g.num_poses
+        take = i < count
+        return g.replace(
+            poses=g.poses.at[k].set(jnp.where(take, poses[i], g.poses[k]), mode="drop"),
+            pose_mask=g.pose_mask.at[k].set(
+                jnp.where(take, True, g.pose_mask[k]), mode="drop"),
+            odom_meas=g.odom_meas.at[k].set(
+                jnp.where(take, odoms[i], g.odom_meas[k]), mode="drop"),
+            prior_pose=jnp.where(take & (k == 0), poses[i], g.prior_pose),
+            num_poses=jnp.minimum(k + take.astype(jnp.int32), K),
+        )
+
+    return jax.lax.fori_loop(0, poses.shape[0], body, g)
+
+
+@partial(jax.jit, donate_argnames=("g",))
 def graph_add_loop(g: PoseGraph, i: jax.Array, j: jax.Array, meas: jax.Array, info_diag: jax.Array) -> PoseGraph:
     """Append a loop between-factor (noise = fitness * I6 in the reference,
     `graph_based_slam.cpp:335-341` — callers pass info_diag = 1/fitness * ones).
@@ -296,15 +321,26 @@ def _solve_step(g: PoseGraph, poses: jax.Array, damping: jax.Array) -> jax.Array
 
 
 @partial(jax.jit, static_argnames=("max_iterations",))
-def optimize(g: PoseGraph, max_iterations: int = 10, init_damping: float = 1e-4) -> PoseGraph:
+def optimize(
+    g: PoseGraph, max_iterations: int = 10, init_damping: float = 1e-4,
+    step_tolerance: float = 1e-6,
+) -> PoseGraph:
     """Levenberg-Marquardt over the full graph; returns the graph with updated poses.
 
     Warm-started from current estimates — the incremental behavior that stands in for
-    iSAM2's Bayes-tree updates (SURVEY.md §7 layer 5).
+    iSAM2's Bayes-tree updates (SURVEY.md §7 layer 5). Early-exits once an ACCEPTED
+    step's max twist norm falls below `step_tolerance`: a warm re-solve (the common
+    per-keyframe case, `graph_based_slam.cpp:373-374`) converges in one iteration and
+    pays one, not `max_iterations`, solves.
     """
+    dtype = g.poses.dtype
 
-    def body(_, carry):
-        poses, damping = carry
+    def cond(carry):
+        _, _, it, done = carry
+        return jnp.logical_not(done) & (it < max_iterations)
+
+    def body(carry):
+        poses, damping, it, _ = carry
         cost0 = graph_cost(g, poses)
         delta = _solve_step(g, poses, damping)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
@@ -314,9 +350,13 @@ def optimize(g: PoseGraph, max_iterations: int = 10, init_damping: float = 1e-4)
         poses = jnp.where(accept, cand, poses)
         damping = jnp.where(accept, damping * 0.3, damping * 8.0)
         damping = jnp.clip(damping, 1e-9, 1e6)
-        return poses, damping
+        step_norm = jnp.max(jnp.linalg.norm(delta, axis=-1))
+        done = accept & (step_norm < step_tolerance)
+        return poses, damping, it + 1, done
 
-    poses, _ = jax.lax.fori_loop(
-        0, max_iterations, body, (g.poses, jnp.asarray(init_damping, g.poses.dtype))
+    poses, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (g.poses, jnp.asarray(init_damping, dtype), jnp.asarray(0, jnp.int32),
+         jnp.asarray(False)),
     )
     return g.replace(poses=poses)

@@ -150,7 +150,12 @@ def make_fused_frontend(
         )
 
     @partial(jax.jit, donate_argnames=("state",))
-    def step(state: FrontEndState, raw_points, raw_mask, target, imu_R, use_imu):
+    def step(state: FrontEndState, raw_points, target, imu_R, use_imu):
+        # Validity is derived from the PAD_VALUE sentinel ON DEVICE: the host uploads one
+        # [R, 3] array per frame instead of points + mask — on a high-latency host link
+        # each transfer costs more in fixed latency than in bytes, so halving the
+        # per-frame transfer count matters more than the mask's 128 KB.
+        raw_mask = raw_points[:, 0] < (0.5 * PAD_VALUE)
         if use_extrinsic:
             T_ext = jnp.asarray(_T_ext_host)
             raw_points = jnp.where(
@@ -211,9 +216,20 @@ def make_fused_frontend(
 
     # The classic driver's ring/target programs, exposed for the host loop. `rebuild` has
     # the same jaxpr as ScanMatcher._assemble_and_build — bit-identical target math.
+    # `insert_and_rebuild` fuses the keyframe ring insert with the target rebuild into
+    # ONE dispatch (host-link latency is per-dispatch); it stays OUTSIDE the step program
+    # (the instability post-mortem in the module docstring concerns in-STEP fusion — the
+    # lagged host-driven rebuild keeps the feedback decoupling).
+    from lidar_graph_slam_tpu.odometry.scan_matcher import ring_insert as _ring_insert
+
+    def _insert_and_rebuild(ring, slot, points, mask, pose):
+        new_ring = _ring_insert(ring, slot, points, mask, pose)
+        return new_ring, build_target(*assemble_submap(new_ring))
+
     aux = {
         "init_ring": lambda: init_ring(window, n_filtered),
         "rebuild": jax.jit(lambda ring: build_target(*assemble_submap(ring))),
+        "insert_and_rebuild": jax.jit(_insert_and_rebuild, donate_argnames=("ring",)),
         "window": window,
     }
     return init_state, step, aux

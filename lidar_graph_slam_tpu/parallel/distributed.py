@@ -209,8 +209,11 @@ def mesh_optimize(
             (_mesh_cost(g, poses), _mesh_cost(g, cand))
         )
         if np.isfinite(cost1) and cost1 < cost0:
+            converged = (cost0 - cost1) < 1e-9 * max(cost0, 1.0)
             poses = cand
             damping = max(damping * 0.3, 1e-9)
+            if converged:  # accepted step changed the cost negligibly -> at the optimum
+                break
         else:
             damping = min(damping * 8.0, 1e6)
     return g.replace(poses=poses)

@@ -30,6 +30,11 @@ def main(argv=None) -> int:
     ap.add_argument("--progress-every", type=int, default=20)
     ap.add_argument("--metrics-jsonl", default=None,
                     help="write per-frame structured metrics to this JSONL file")
+    ap.add_argument("--live-render", type=int, default=0, metavar="N",
+                    help="re-render <output>/live.png every N frames during the run — "
+                         "the during-run view standing in for the reference's rviz "
+                         "profile (map, trajectories, accepted AND rejected loop "
+                         "candidates); 0 disables")
     args = ap.parse_args(argv)
 
     from lidar_graph_slam_tpu.core.config import apply_cli_overrides, load_config
@@ -63,9 +68,33 @@ def main(argv=None) -> int:
         gt_all = seq.gt_poses
 
     pipe = SlamPipeline(cfg, metrics_path=args.metrics_jsonl)
-    result = pipe.run(seq, progress_every=args.progress_every)
-
     os.makedirs(args.output, exist_ok=True)
+    if args.live_render > 0:
+        from lidar_graph_slam_tpu.utils.viz import render_run
+
+        live_path = os.path.join(args.output, "live.png")
+        for i, item in enumerate(seq):
+            scan = item[0] if isinstance(item, tuple) else item
+            pipe.process_scan(np.asarray(scan))
+            if (i + 1) % args.live_render == 0:
+                log = pipe.back.loop_log
+                render_run(
+                    live_path,
+                    pipe.back.assemble_map(max(args.map_resolution, 0.3)),
+                    np.stack(pipe.odometry_poses),
+                    pipe.back.optimized_poses(),
+                    loop_pairs=[(l["latest"], l["candidate"]) for l in log if l["accepted"]],
+                    rejected_pairs=[
+                        (l["latest"], l["candidate"]) for l in log
+                        if not l["accepted"] and not l.get("overflow") and l["candidate"] >= 0
+                    ],
+                )
+            if args.progress_every and (i + 1) % args.progress_every == 0:
+                print(f"[tpu-slam] frame {i + 1}, keyframes={pipe.back.n_keyframes}, "
+                      f"loops={sum(1 for l in pipe.back.loop_log if l['accepted'])}")
+        result = pipe.result()
+    else:
+        result = pipe.run(seq, progress_every=args.progress_every)
     write_tum_trajectory(os.path.join(args.output, "odometry_tum.txt"), result.odometry_poses)
     write_kitti_trajectory(os.path.join(args.output, "odometry_kitti.txt"), result.odometry_poses)
     write_tum_trajectory(os.path.join(args.output, "keyframes_tum.txt"), result.keyframe_poses)

@@ -78,6 +78,7 @@ class SlamPipeline:
             self._state = init_state()
             self._ring = aux["init_ring"]()
             self._rebuild = aux["rebuild"]
+            self._insert_and_rebuild = aux["insert_and_rebuild"]
             self._window = aux["window"]
             self._target = self._rebuild(self._ring)  # empty map; frame 0 bootstraps
             self._pending: deque = deque()  # (frame_idx, wall_t0, stamp, FrameOut)
@@ -134,9 +135,13 @@ class SlamPipeline:
 
         frame_idx, t0, stamp, out = item
         t1 = time.perf_counter()
-        pose, converged, is_kf, fitness, iters, kf_id, accum = jax.device_get(
+        # ONE batched fetch for scalars AND the keyframe payload: blocking on a result
+        # pays the host-link's completion-notification latency once per device_get, which
+        # dwarfs the payload's extra bytes on keyframe-dense streams (automotive: nearly
+        # every frame keyframes at 1 m displacement).
+        pose, converged, is_kf, fitness, iters, kf_id, accum, cloud, mask = jax.device_get(
             (out.pose, out.converged, out.is_keyframe, out.fitness, out.iterations,
-             out.keyframe_id, out.accum_distance)
+             out.keyframe_id, out.accum_distance, out.kf_cloud, out.kf_mask)
         )
         t2 = time.perf_counter()
         pose = np.asarray(pose)
@@ -149,16 +154,16 @@ class SlamPipeline:
         }
         if info["is_keyframe"]:
             # Insert into the device-side submap ring and rebuild the registration target
-            # — the SAME jitted programs the classic driver uses (see odometry/fused.py on
-            # why this stays outside the fused step). The rebuilt target takes effect at
-            # the next dispatched frame (one-frame submap lag, verified benign).
-            from lidar_graph_slam_tpu.odometry.scan_matcher import ring_insert
+            # in ONE fused dispatch (host-link latency is per-dispatch; see
+            # odometry/fused.py on why this stays outside the fused step). The rebuilt
+            # target takes effect at the next dispatched frame (one-frame submap lag,
+            # verified benign).
             import jax.numpy as jnp
 
             slot = jnp.asarray(int(kf_id) % self._window, jnp.int32)
-            self._ring = ring_insert(self._ring, slot, out.kf_cloud, out.kf_mask, out.pose)
-            self._target = self._rebuild(self._ring)
-            cloud, mask = jax.device_get((out.kf_cloud, out.kf_mask))
+            self._ring, self._target = self._insert_and_rebuild(
+                self._ring, slot, out.kf_cloud, out.kf_mask, out.pose
+            )
             from lidar_graph_slam_tpu.core.msgs import KeyFrame
 
             self.back.add_keyframe(
@@ -197,6 +202,20 @@ class SlamPipeline:
         self._last_out = info
         return info
 
+    def _pad_bucket(self, scan: np.ndarray) -> np.ndarray:
+        """Pad the raw scan to the smallest power-of-two bucket (min 8192) that holds it,
+        capped at `capacity.raw_points`. Buckets bound per-frame upload bytes to ~the
+        actual scan size while keeping the set of compiled step shapes small (one per
+        bucket, compile-cached)."""
+        n = min(scan.shape[0], self.cfg.capacity.raw_points)
+        b = 8192
+        while b < n:
+            b *= 2
+        b = min(b, self.cfg.capacity.raw_points)
+        out = np.full((b, 3), 1.0e6, dtype=np.float32)  # PAD_VALUE sentinel
+        out[:n] = scan[:n]
+        return out
+
     def _process_fused(self, scan: np.ndarray, stamp: Optional[float]) -> dict:
         import jax.numpy as jnp
 
@@ -204,7 +223,7 @@ class SlamPipeline:
 
         t0 = time.perf_counter()
         frame_idx = len(self.odometry_poses) + len(self._pending)
-        raw = PointCloud.from_array(scan, capacity=self.cfg.capacity.raw_points)
+        raw_pts = jnp.asarray(self._pad_bucket(np.asarray(scan, dtype=np.float32)))
         # Gyro-integrated rotation since the previously DISPATCHED frame: inside the step
         # the guess rotation becomes state.pose[:3,:3] @ imu_R, and state.pose at dispatch
         # of frame t is frame t-1's pose — exactly the classic driver's semantics.
@@ -212,17 +231,10 @@ class SlamPipeline:
         self._last_dispatch_stamp = stamp
         use_imu = imu_R is not None and frame_idx > 0
         self._state, out = self._step(
-            self._state, raw.points, raw.mask, self._target,
+            self._state, raw_pts, self._target,
             jnp.asarray(imu_R, jnp.float32) if use_imu else self._eye3,
             self._true if use_imu else self._false,
         )
-        # Start the keyframe payload's host copy now; if this frame turns out to be a
-        # keyframe the back end reads it (nearly) for free.
-        try:
-            out.kf_cloud.copy_to_host_async()
-            out.kf_mask.copy_to_host_async()
-        except AttributeError:  # older jax Array without the method
-            pass
         t1 = time.perf_counter()
         self.timings["prefilter"].append(t1 - t0)  # host pad + upload + dispatch
         self._pending.append((frame_idx, t0, stamp, out))
@@ -230,8 +242,10 @@ class SlamPipeline:
             # Bootstrap frame: consume immediately so keyframe 0 lands in the ring and the
             # target is real before frame 1 dispatches (reference `:133-160` semantics).
             return self._consume_fused(self._pending.popleft())
-        # Lagged readback: keep exactly one frame in flight.
-        if len(self._pending) > 1:
+        # Lagged readback: keep `pipeline_depth` frames in flight — deeper pipelining
+        # hides more of the host-link completion latency at the cost of the submap ring
+        # lagging keyframes by `depth` frames (quality-checked by the pipeline tests).
+        if len(self._pending) > max(1, self.cfg.pipeline_depth):
             return self._consume_fused(self._pending.popleft())
         return dict(self._last_out) if self._last_out else {
             "pose": np.eye(4, dtype=np.float32), "is_keyframe": False,

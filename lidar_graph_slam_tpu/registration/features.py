@@ -55,7 +55,9 @@ def estimate_normals(
     ok = qmask & (jnp.sum(nvalid, axis=1) >= 3)
     eye = jnp.eye(3, dtype=cov.dtype)
     cov = jnp.where(ok[:, None, None], cov, eye)
-    _, vecs = jnp.linalg.eigh(cov)
+    from lidar_graph_slam_tpu.ops.voxel import _eigh3x3  # batched-3x3-fast Jacobi
+
+    _, vecs = _eigh3x3(cov)
     n = vecs[..., 0]                                          # smallest-eigenvalue column
     vp = jnp.zeros((3,), queries.dtype) if viewpoint is None else viewpoint
     flip = jnp.sum(n * (vp[None, :] - queries), axis=-1) < 0.0

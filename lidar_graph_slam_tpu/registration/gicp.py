@@ -76,7 +76,9 @@ def estimate_covariances(
     ok_s = cnt_s >= 5.0
     eye = jnp.broadcast_to(jnp.eye(3, dtype=points.dtype), cov_s.shape)
     cov_safe = jnp.where(ok_s[:, None, None], cov_s, eye)
-    wvals, V = jnp.linalg.eigh(cov_safe)
+    from lidar_graph_slam_tpu.ops.voxel import _eigh3x3  # batched-3x3-fast Jacobi
+
+    wvals, V = _eigh3x3(cov_safe)
     target = jnp.array([1e-3, 1.0, 1.0], dtype=points.dtype)  # ascending eigenvalue order
     cov_reg = (V * target[None, None, :]) @ jnp.swapaxes(V, -1, -2)
     cov_reg = jnp.where(ok_s[:, None, None], cov_reg, eye)

@@ -96,6 +96,21 @@ def main():
                                   max_iterations=8, polish_iterations=0))
     print(f"align(max_it=1): {t1:.3f} ms  (max_it=2): {t2:.3f}  (max_it=8): {t8:.3f}  per-iter ~{(t8-t1)/7:.3f} ms")
 
+    # Roofline for the fused accumulation (VERDICT r02 item 2): the kernel reads 61 B and
+    # does ~220 FLOP per correspondence row — arithmetic intensity ~3.6 FLOP/B, firmly
+    # bandwidth-bound, so achieved-bytes/s vs the chip's measured streaming peak IS the
+    # speed-of-light fraction. The peak is self-calibrated (saxpy on 256 MiB).
+    xbig = jnp.ones((64 * 1024 * 1024,), jnp.float32)
+    saxpy = jax.jit(lambda v: v * 1.0001 + 1.0)
+    t_peak = timeit(lambda: saxpy(xbig), n=10)
+    peak_gbs = (2 * xbig.size * 4) / (t_peak * 1e-3) / 1e9
+    kk = e.shape[0]
+    bytes_moved = kk * (12 + 36 + 12 + 1)
+    achieved = bytes_moved / (t_acc * 1e-3) / 1e9
+    print(f"roofline: ndt_accumulate {achieved:.1f} GB/s vs streaming peak {peak_gbs:.1f} GB/s "
+          f"-> {achieved / peak_gbs:.1%} of HBM roofline "
+          f"({kk * 220 / (t_acc * 1e-3) / 1e9:.1f} GFLOP/s)")
+
 
 if __name__ == "__main__":
     main()
