@@ -96,17 +96,25 @@ def bench_pose_graph():
         for L in (8, 64):
             g = solver.init_graph(K, L, (1e-6,) * 3 + (1e-8, 1e-8, 1e-6))
             # Ground-truth circle; odometry measurements carry noise so the cold start
-            # (chained odometry) is genuinely drifted.
-            T = np.eye(4, dtype=np.float32)
-            g = solver.graph_add_keyframe(g, jnp.asarray(T), jnp.eye(4))
+            # (chained odometry) is genuinely drifted. Poses/odoms composed host-side,
+            # inserted with the batched program (one dispatch per 512 keyframes).
             step = 2 * np.pi / K
-            for _ in range(K - 1):
-                xi = np.array([0, 0, step, 1.0, 0, 0], dtype=np.float32)
-                xi[:3] += rng.normal(scale=1e-4, size=3)
-                xi[3:] += rng.normal(scale=1e-3, size=3)
-                meas = np.asarray(se3.se3_exp(jnp.asarray(xi)))
-                T = T @ meas
-                g = solver.graph_add_keyframe(g, jnp.asarray(T), jnp.asarray(meas))
+            xi = np.tile(np.array([0, 0, step, 1.0, 0, 0], np.float32), (K, 1))
+            xi[:, :3] += rng.normal(scale=1e-4, size=(K, 3))
+            xi[:, 3:] += rng.normal(scale=1e-3, size=(K, 3))
+            meas = np.asarray(jax.vmap(se3.se3_exp)(jnp.asarray(xi)))
+            poses = np.empty((K, 4, 4), np.float32)
+            odoms = np.empty((K, 4, 4), np.float32)
+            T = np.eye(4, dtype=np.float32)
+            poses[0], odoms[0] = T, np.eye(4, dtype=np.float32)
+            for k in range(1, K):
+                T = T @ meas[k]
+                poses[k], odoms[k] = T, meas[k]
+            for lo in range(0, K, 512):
+                g = solver.graph_add_keyframes_batch(
+                    g, jnp.asarray(poses[lo:lo + 512]), jnp.asarray(odoms[lo:lo + 512]),
+                    jnp.asarray(min(512, K - lo), jnp.int32),
+                )
             for l in range(L):
                 i = (l * K // L) % K
                 j = (i + K // 2) % K
@@ -122,7 +130,12 @@ def bench_pose_graph():
             opt = lambda gg: solver.optimize(gg, max_iterations=15).poses  # noqa: E731
             opt(g)  # compile
             cold_ms = _timeit(lambda: opt(g.replace(poses=cold_poses)), n=5) * 1e3
-            g_warm = g.replace(poses=solver.optimize(g, max_iterations=15).poses)
+            # Warm = the iSAM2-analog incremental case: re-solve from a CONVERGED state
+            # (drive there with a generous budget first; plain 15 iterations leave the
+            # big graphs still descending, which made warm==cold in earlier rounds).
+            g_warm = g
+            for _ in range(4):
+                g_warm = solver.optimize(g_warm, max_iterations=50)
             warm_ms = _timeit(lambda: opt(g_warm), n=5) * 1e3
             out[f"K{K}_L{L}"] = {"cold_ms": round(cold_ms, 2), "warm_ms": round(warm_ms, 2)}
     return out
@@ -155,15 +168,24 @@ def bench_e2e(n_frames=180):
     scans = [scan for scan, _ in seq]
     mean_pts = float(np.mean([s.shape[0] for s in scans]))
 
-    pipe.process_scan(scans[0])  # compile
+    pipe.process_scan(scans[0])  # compile the non-keyframe path
+    frame_walls = []
     t0 = time.perf_counter()
     for s in scans[1:]:
+        a = time.perf_counter()
         pipe.process_scan(s)
+        frame_walls.append(time.perf_counter() - a)
     pipe.flush()
     dt = time.perf_counter() - t0
     res = pipe.result()
+    # steady_fps is median-based: first-time compiles (keyframe path, loop verifier,
+    # graph solve — 30-90 s each through the remote compile service) land inside the
+    # run and would otherwise dominate the mean; they are one-time costs amortized by
+    # the persistent compilation cache, not per-frame throughput.
+    med = float(np.median(frame_walls))
     return {
-        "fps": round((n_frames - 1) / dt, 2),
+        "steady_fps": round(1.0 / max(med, 1e-9), 2),
+        "full_run_fps": round((n_frames - 1) / dt, 2),
         "mean_raw_points": int(mean_pts),
         "keyframes": int(res.keyframe_poses.shape[0]),
         "loops_accepted": int(res.num_loop_closures),

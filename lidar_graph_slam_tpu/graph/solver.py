@@ -186,14 +186,105 @@ def graph_cost(g: PoseGraph, poses: jax.Array) -> jax.Array:
 # --- block-tridiagonal solve ------------------------------------------------------------
 
 
+def _tridiag_solve_cr(D: jax.Array, U: jax.Array, B: jax.Array) -> jax.Array:
+    """Block cyclic reduction solve of the symmetric block-tridiagonal system H x = B.
+
+    D: [K, 6, 6]; U: [K, 6, 6] with U[k] = H[k, k+1] (U[K-1] ignored/zero);
+    B: [K, 6, M]. Returns x [K, 6, M]. K is padded internally to a power of two with
+    decoupled identity blocks.
+
+    WHY: the sequential `lax.scan` elimination issues K tiny dependent 6x6 steps — on
+    TPU that is pure latency (measured ~160 ms at K=1024, ~680 ms at K=4096, i.e. the
+    whole pose-graph solve budget). Cyclic reduction eliminates every odd block in
+    PARALLEL and recurses on the half-size even system: log2(K) levels of fully batched
+    6x6 solves/matmuls — exactly the shape the VPU/MXU wants. ~2x the FLOPs of the
+    scan, ~K/log2(K) less serial latency. Standard identities (L_i = U_{i-1}^T):
+
+      D'_j = D_2j − U_{2j−1}^T D_{2j−1}^{-1} U_{2j−1} − U_2j D_{2j+1}^{-1} U_2j^T
+      U'_j = −U_2j D_{2j+1}^{-1} U_{2j+1}
+      b'_j = b_2j − U_{2j−1}^T D_{2j−1}^{-1} b_{2j−1} − U_2j D_{2j+1}^{-1} b_{2j+1}
+      back-substitution: x_{2j+1} = D_{2j+1}^{-1}(b_{2j+1} − U_2j^T x_2j − U_{2j+1} x_{2j+2})
+    """
+    K = D.shape[0]
+    M = B.shape[-1]
+    dtype = D.dtype
+    Kp = 1 << max(K - 1, 1).bit_length()
+    if Kp != K:
+        pad = Kp - K
+        eye = jnp.broadcast_to(jnp.eye(6, dtype=dtype), (pad, 6, 6))
+        D = jnp.concatenate([D, eye], axis=0)
+        U = jnp.concatenate([U, jnp.zeros((pad, 6, 6), dtype)], axis=0)
+        # Decouple the padding from the real system.
+        U = U.at[K - 1].set(jnp.zeros((6, 6), dtype))
+        B = jnp.concatenate([B, jnp.zeros((pad, 6, M), dtype)], axis=0)
+
+    def solve_level(D, U, B):
+        n = D.shape[0]
+        if n == 1:
+            return jnp.linalg.solve(D[0], B[0])[None]
+        D_e, D_o = D[0::2], D[1::2]                 # [h], h = n/2
+        B_e, B_o = B[0::2], B[1::2]
+        U_eo = U[0::2]                               # U_{2j}: even 2j -> odd 2j+1
+        U_oe = U[1::2]                               # U_{2j+1}: odd 2j+1 -> even 2j+2
+        h = n // 2
+        U_oe = U_oe.at[h - 1].set(jnp.zeros((6, 6), dtype))  # no even block after the last odd
+
+        # Per-odd-block solves, batched: D_o^{-1} [U_eo^T | U_oe | b_o].
+        rhs_o = jnp.concatenate([jnp.swapaxes(U_eo, -1, -2), U_oe, B_o], axis=-1)
+        sol_o = jnp.linalg.solve(D_o, rhs_o)
+        Dinv_Ueo_T = sol_o[..., :6]                  # D_{2j+1}^{-1} U_{2j}^T
+        Dinv_Uoe = sol_o[..., 6:12]                  # D_{2j+1}^{-1} U_{2j+1}
+        Dinv_bo = sol_o[..., 12:]                    # D_{2j+1}^{-1} b_{2j+1}
+
+        # Contributions from odd 2j+1 into even 2j (right neighbor):
+        D_right = U_eo @ Dinv_Ueo_T                  # U_2j D^{-1} U_2j^T
+        U_new = -(U_eo @ Dinv_Uoe)                   # couples even j -> even j+1
+        b_right = U_eo @ Dinv_bo
+        # Contributions from odd 2j-1 into even 2j (left neighbor), shifted:
+        UT_Dinv_U = jnp.swapaxes(U_oe, -1, -2) @ Dinv_Uoe   # U_{2j+1}^T D^{-1} U_{2j+1}
+        b_left_src = jnp.swapaxes(U_oe, -1, -2) @ Dinv_bo   # U_{2j+1}^T D^{-1} b_{2j+1}
+        zero6 = jnp.zeros((1, 6, 6), dtype)
+        D_left = jnp.concatenate([zero6, UT_Dinv_U[:-1]], axis=0)
+        b_left = jnp.concatenate([jnp.zeros((1, 6, M), dtype), b_left_src[:-1]], axis=0)
+
+        D_next = D_e - D_right - D_left
+        B_next = B_e - b_right - b_left
+        x_e = solve_level(D_next, U_new, B_next)     # [h, 6, M]
+
+        # Back-substitute odds: x_{2j+1} = D^{-1}(b − U_2j^T x_2j − U_{2j+1} x_{2j+2}).
+        x_e_next = jnp.concatenate([x_e[1:], jnp.zeros((1, 6, M), dtype)], axis=0)
+        x_o = Dinv_bo - Dinv_Ueo_T @ x_e - Dinv_Uoe @ x_e_next
+        # Interleave even/odd back to size n.
+        out = jnp.stack([x_e, x_o], axis=1).reshape(n, 6, M)
+        return out
+
+    x = solve_level(D, U, B)
+    return x[:K]
+
+
 def _tridiag_solve(D: jax.Array, U: jax.Array, B: jax.Array) -> jax.Array:
     """Solve the block-tridiagonal system H x = B.
 
     D: [K, 6, 6] diagonal blocks; U: [K-1, 6, 6] super-diagonal blocks (H[k, k+1]);
     B: [K, 6, M] right-hand sides. Returns x [K, 6, M].
 
-    Forward block elimination then back substitution, each a `lax.scan` of 6x6 ops.
+    Dispatches to batched cyclic reduction (`_tridiag_solve_cr`) — the sequential-scan
+    elimination below is kept as the reference implementation and for tiny systems.
     """
+    K = D.shape[0]
+    # Empirical window (real-TPU measurements, optimize(15) wall): CR is ~3x faster at
+    # K ~ 1024 (52 vs 161 ms) but ~4x SLOWER at K = 4096 inside the composed LM program
+    # (2.7 s vs 0.68 s) — its per-level temporaries blow past what the compiler keeps
+    # in registers/VMEM once K is large, and [*,6,6] tensors tile to (8,128) so spilled
+    # bytes are 21x the payload. The scan stays the fallback above the window.
+    if 8 <= K < 2048:
+        U_full = jnp.concatenate([U, jnp.zeros((1, 6, 6), D.dtype)], axis=0)
+        return _tridiag_solve_cr(D, U_full, B)
+    return _tridiag_solve_scan(D, U, B)
+
+
+def _tridiag_solve_scan(D: jax.Array, U: jax.Array, B: jax.Array) -> jax.Array:
+    """Sequential-scan reference solve (forward block elimination + back substitution)."""
     # Pad U with a leading zero block so step k consumes U_{k-1}.
     K = D.shape[0]
     U_pad = jnp.concatenate([jnp.zeros((1, 6, 6), D.dtype), U], axis=0)
@@ -208,7 +299,10 @@ def _tridiag_solve(D: jax.Array, U: jax.Array, B: jax.Array) -> jax.Array:
         return (S, y), (S, y, G)
 
     M = B.shape[-1]
-    init = (jnp.eye(6, dtype=D.dtype), jnp.zeros((6, M), D.dtype))
+    # Derive the init carry from the operands so its sharding/varying type matches the
+    # body outputs under shard_map (a replicated literal init trips the varying-axis
+    # check when this runs inside a sharded region).
+    init = (jnp.eye(6, dtype=D.dtype) + 0.0 * D[0], jnp.zeros((6, M), D.dtype) + 0.0 * B[0])
     _, (S_all, y_all, G_all) = jax.lax.scan(fwd_step, init, (D, U_pad, B))
 
     # Back substitution: x_K-1 = S^{-1} y; x_k = S_k^{-1} y_k - G_{k+1} x_{k+1}.
@@ -219,7 +313,7 @@ def _tridiag_solve(D: jax.Array, U: jax.Array, B: jax.Array) -> jax.Array:
 
     # G_all[k] = S_{k-1}^{-1} U_{k-1}; for back-sub at k we need G_{k+1} = S_k^{-1} U_k.
     G_shift = jnp.concatenate([G_all[1:], jnp.zeros((1, 6, 6), D.dtype)], axis=0)
-    _, xs = jax.lax.scan(bwd_step, jnp.zeros((6, M), D.dtype), (S_all, y_all, G_shift), reverse=True)
+    _, xs = jax.lax.scan(bwd_step, 0.0 * B[0], (S_all, y_all, G_shift), reverse=True)
     return xs
 
 
@@ -336,27 +430,35 @@ def optimize(
     dtype = g.poses.dtype
 
     def cond(carry):
-        _, _, it, done = carry
+        _, _, _, it, done = carry
         return jnp.logical_not(done) & (it < max_iterations)
 
     def body(carry):
-        poses, damping, it, _ = carry
-        cost0 = graph_cost(g, poses)
+        poses, cost0, damping, it, _ = carry
         delta = _solve_step(g, poses, damping)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         cand = poses @ se3.se3_exp(delta)
         cand_cost = graph_cost(g, cand)
         accept = cand_cost < cost0
+        # Stationary-point tests, independent of whether the f32 cost compare accepted
+        # the step (at the optimum LM proposes ~useless steps that get rejected on cost
+        # noise — gating on acceptance made warm re-solves run all max_iterations):
+        #   * the proposed step is tiny, or
+        #   * the proposed step changes the cost by < 1e-5 relative (with info up to
+        #     1e8 the f32 gradient noise keeps warm-point step norms well above any
+        #     fixed norm tolerance, so the cost plateau is the robust signal).
+        step_norm = jnp.max(jnp.linalg.norm(delta, axis=-1))
+        plateau = jnp.abs(cand_cost - cost0) < 1e-5 * jnp.maximum(cost0, 1e-3)
         poses = jnp.where(accept, cand, poses)
+        cost0 = jnp.where(accept, cand_cost, cost0)  # carry: one cost eval per iteration
         damping = jnp.where(accept, damping * 0.3, damping * 8.0)
         damping = jnp.clip(damping, 1e-9, 1e6)
-        step_norm = jnp.max(jnp.linalg.norm(delta, axis=-1))
-        done = accept & (step_norm < step_tolerance)
-        return poses, damping, it + 1, done
+        done = (step_norm < step_tolerance) | plateau
+        return poses, cost0, damping, it + 1, done
 
-    poses, _, _, _ = jax.lax.while_loop(
+    poses, _, _, _, _ = jax.lax.while_loop(
         cond, body,
-        (g.poses, jnp.asarray(init_damping, dtype), jnp.asarray(0, jnp.int32),
-         jnp.asarray(False)),
+        (g.poses, graph_cost(g, g.poses), jnp.asarray(init_damping, dtype),
+         jnp.asarray(0, jnp.int32), jnp.asarray(False)),
     )
     return g.replace(poses=poses)

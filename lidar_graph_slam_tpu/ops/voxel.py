@@ -249,19 +249,13 @@ def regularize_covariance(cov: jax.Array, min_eig_ratio: float = 1e-2):
     return cov_reg, inv
 
 
-@partial(jax.jit, static_argnames=("capacity", "min_points"))
-def build_ndt_map(
-    points: jax.Array,
-    mask: jax.Array,
-    resolution: jax.Array,
-    capacity: int,
-    min_points: int = 6,
-) -> NdtVoxelMap:
-    """Build per-voxel Gaussians (mean + regularized inverse covariance) from a masked cloud.
-
-    ndt_omp requires >= 6 points per voxel before trusting a Gaussian; sparser voxels are
-    marked invalid and contribute nothing to the NDT score.
-    """
+def _sorted_voxel_stats(points, mask, resolution, capacity: int):
+    """Per-voxel raw moments via one on-chip sort: (seg_keys, counts, sums, outer_sums,
+    origin, num_voxels, occupied). Moments are accumulated in VOXEL-LOCAL coordinates
+    (point minus its voxel's corner): in world coordinates E[x x^T] - mu mu^T cancels
+    catastrophically in float32 once |x| >> leaf (KITTI scale |x| ~ 1e2-1e3 m vs
+    covariances ~ 1e-2 m^2) and becomes sensitive to XLA's fusion/reassociation. Local
+    coordinates bound every accumulated term by O(leaf^2)."""
     origin = min_corner(points, mask) - resolution
     keys = pack_key(voxel_coords(points, origin, 1.0 / resolution))
     keys = jnp.where(mask, keys, INVALID_KEY)
@@ -278,12 +272,6 @@ def build_ndt_map(
     seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1
     seg_id = jnp.where(valid_sorted, seg_id, capacity)
 
-    # Accumulate moments in VOXEL-LOCAL coordinates (point minus its voxel's corner).
-    # In world coordinates E[x x^T] - mu mu^T cancels catastrophically in float32 once
-    # |x| >> leaf (at KITTI scale |x| ~ 1e2-1e3 m vs covariances ~ 1e-2 m^2): the result
-    # becomes sensitive to summation order, i.e. to how XLA happens to fuse this program.
-    # Local coordinates are bounded by the leaf, so every accumulated term is O(leaf^2)
-    # and the subtraction is benign regardless of fusion/reassociation.
     row_coords = jnp.stack(unpack_key(jnp.where(valid_sorted, keys_sorted, 0)), axis=-1)
     row_corner = origin + row_coords.astype(points.dtype) * resolution
     local_sorted = pts_sorted - row_corner
@@ -301,9 +289,19 @@ def build_ndt_map(
 
     num_voxels = jnp.sum(first.astype(jnp.int32))
     occupied = jnp.arange(capacity) < jnp.minimum(num_voxels, capacity)
+    return seg_keys, counts, sums, outer_sums, origin, num_voxels, occupied
+
+
+def _finalize_ndt(
+    seg_keys, counts, sums, outer_sums, origin, num_voxels, occupied,
+    resolution, capacity: int, min_points: int, dtype,
+) -> NdtVoxelMap:
+    """Raw per-voxel moments -> NdtVoxelMap (means, regularized inverse covariances,
+    dense lookup table). ndt_omp requires >= `min_points` per voxel before trusting a
+    Gaussian; sparser voxels are marked invalid and contribute nothing to the score."""
     cnt = jnp.maximum(counts, 1.0)[:, None]
     means_local = sums / cnt
-    seg_corner = origin + jnp.stack(unpack_key(seg_keys), axis=-1).astype(points.dtype) * resolution
+    seg_corner = origin + jnp.stack(unpack_key(seg_keys), axis=-1).astype(dtype) * resolution
     means = seg_corner + means_local
     # Unbiased-ish sample covariance (ndt_omp divides by n-1); translation-invariant, so
     # local moments give it exactly.
@@ -318,21 +316,119 @@ def build_ndt_map(
 
     keys_out = jnp.where(occupied, seg_keys, INVALID_KEY)
     means_out = pad_points(means, occupied)
-    packed = jnp.zeros((capacity, 16), dtype=points.dtype)
+    packed = jnp.zeros((capacity, 16), dtype=dtype)
     packed = packed.at[:, 0:3].set(means_out)
     packed = packed.at[:, 3:12].set(inv_covs.reshape(capacity, 9))
-    packed = packed.at[:, 12].set(valid.astype(points.dtype))
+    packed = packed.at[:, 12].set(valid.astype(dtype))
     return NdtVoxelMap(
         keys=keys_out,
         means=means_out,
         inv_covs=inv_covs,
         valid=valid,
         origin=origin,
-        leaf=jnp.asarray(resolution, dtype=points.dtype),
+        leaf=jnp.asarray(resolution, dtype=dtype),
         num_voxels=num_voxels,
         table=build_dense_table(keys_out, valid, TABLE_DIMS),
         packed=packed,
     )
+
+
+@partial(jax.jit, static_argnames=("capacity", "min_points"))
+def build_ndt_map(
+    points: jax.Array,
+    mask: jax.Array,
+    resolution: jax.Array,
+    capacity: int,
+    min_points: int = 6,
+) -> NdtVoxelMap:
+    """Build per-voxel Gaussians (mean + regularized inverse covariance) from a masked
+    cloud (see `_sorted_voxel_stats` / `_finalize_ndt` for the numerics)."""
+    seg_keys, counts, sums, outer_sums, origin, num_voxels, occupied = _sorted_voxel_stats(
+        points, mask, resolution, capacity
+    )
+    return _finalize_ndt(
+        seg_keys, counts, sums, outer_sums, origin, num_voxels, occupied,
+        resolution, capacity, min_points, points.dtype,
+    )
+
+
+@partial(jax.jit, static_argnames=("capacity", "coarse_capacity", "factor", "min_points"))
+def build_ndt_pyramid(
+    points: jax.Array,
+    mask: jax.Array,
+    resolution: jax.Array,
+    factor: int,
+    capacity: int,
+    coarse_capacity: int,
+    min_points: int = 6,
+):
+    """Build (coarse, fine) NDT maps with ONE pass over the points.
+
+    The fine map is exactly `build_ndt_map(points, mask, resolution, capacity)`. The
+    coarse map (leaf = factor * resolution, same origin) is derived by MERGING the fine
+    map's raw voxel moments — shifting each fine voxel's local moments by its corner
+    offset inside the parent coarse voxel is exact, so no second 655k-point sort+reduce
+    is paid (the merge sorts `capacity` stat rows instead; ~10x fewer). The coarse
+    partition differs from an independent coarse build only by the origin convention
+    (fine origin vs min-corner-minus-coarse-leaf) — a pure voxel-boundary shift."""
+    dtype = points.dtype
+    seg_keys, counts, sums, outer_sums, origin, num_voxels, occupied = _sorted_voxel_stats(
+        points, mask, resolution, capacity
+    )
+    fine = _finalize_ndt(
+        seg_keys, counts, sums, outer_sums, origin, num_voxels, occupied,
+        resolution, capacity, min_points, dtype,
+    )
+
+    # Shift fine-local moments to coarse-local: x_c = x_f + o with o = (child corner -
+    # parent corner); sum(x_c) = sum + n*o; sum(x_c x_c^T) = outer + o sum^T + sum o^T
+    # + n o o^T. Exact in every entry.
+    coords = jnp.stack(unpack_key(jnp.where(occupied, seg_keys, 0)), axis=-1)
+    ccoords = coords // factor
+    off = (coords - ccoords * factor).astype(dtype) * resolution          # [C, 3]
+    live = occupied & (counts > 0)
+    ckeys = jnp.where(live, pack_key(ccoords), INVALID_KEY)
+    sums_c = sums + counts[:, None] * off
+    outer_c = (
+        outer_sums
+        + off[:, :, None] * sums[:, None, :]
+        + sums[:, :, None] * off[:, None, :]
+        + counts[:, None, None] * off[:, :, None] * off[:, None, :]
+    )
+
+    # Merge stat rows by coarse key: sort 14 columns, then sorted segment reduce.
+    cols = (ckeys, counts) + tuple(sums_c[:, i] for i in range(3)) + tuple(
+        outer_c.reshape(capacity, 9)[:, i] for i in range(9)
+    )
+    sorted_cols = jax.lax.sort(cols, num_keys=1)
+    ck_s = sorted_cols[0]
+    cnt_s = sorted_cols[1]
+    sum_s = jnp.stack(sorted_cols[2:5], axis=-1)
+    out_s = jnp.stack(sorted_cols[5:14], axis=-1).reshape(capacity, 3, 3)
+    valid_s = ck_s != INVALID_KEY
+    first_c = jnp.concatenate([valid_s[:1], (ck_s[1:] != ck_s[:-1]) & valid_s[1:]])
+    seg_c = jnp.cumsum(first_c.astype(jnp.int32)) - 1
+    seg_c = jnp.where(valid_s, seg_c, coarse_capacity)
+    csums = jax.ops.segment_sum(
+        jnp.where(valid_s[:, None], sum_s, 0.0), seg_c,
+        num_segments=coarse_capacity + 1, indices_are_sorted=True)[:coarse_capacity]
+    ccounts = jax.ops.segment_sum(
+        jnp.where(valid_s, cnt_s, 0.0), seg_c,
+        num_segments=coarse_capacity + 1, indices_are_sorted=True)[:coarse_capacity]
+    couters = jax.ops.segment_sum(
+        jnp.where(valid_s[:, None], out_s.reshape(capacity, 9), 0.0), seg_c,
+        num_segments=coarse_capacity + 1, indices_are_sorted=True,
+    )[:coarse_capacity].reshape(coarse_capacity, 3, 3)
+    cseg_keys = jax.ops.segment_max(
+        jnp.where(valid_s, ck_s, jnp.int32(0)), seg_c,
+        num_segments=coarse_capacity + 1, indices_are_sorted=True)[:coarse_capacity]
+    cnum = jnp.sum(first_c.astype(jnp.int32))
+    coccupied = jnp.arange(coarse_capacity) < jnp.minimum(cnum, coarse_capacity)
+    coarse = _finalize_ndt(
+        cseg_keys, ccounts, csums, couters, origin, cnum, coccupied,
+        resolution * factor, coarse_capacity, min_points, dtype,
+    )
+    return coarse, fine
 
 
 # DIRECT7 neighborhood: the voxel containing the point plus its 6 face-adjacent voxels

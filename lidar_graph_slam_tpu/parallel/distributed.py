@@ -208,14 +208,17 @@ def mesh_optimize(
         cost0, cost1 = jax.device_get(
             (_mesh_cost(g, poses), _mesh_cost(g, cand))
         )
+        plateau = np.isfinite(cost1) and abs(cost0 - cost1) < 1e-9 * max(cost0, 1.0)
         if np.isfinite(cost1) and cost1 < cost0:
-            converged = (cost0 - cost1) < 1e-9 * max(cost0, 1.0)
             poses = cand
             damping = max(damping * 0.3, 1e-9)
-            if converged:  # accepted step changed the cost negligibly -> at the optimum
-                break
         else:
             damping = min(damping * 8.0, 1e6)
+        if plateau:
+            # The proposed step changes the cost negligibly — stationary point, whether
+            # the f32 cost compare accepted it or not (rejected-at-optimum otherwise
+            # burns every remaining iteration).
+            break
     return g.replace(poses=poses)
 
 

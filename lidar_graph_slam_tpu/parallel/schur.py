@@ -32,34 +32,16 @@ from lidar_graph_slam_tpu.graph import solver as gsolver
 
 
 def _local_tridiag_solve(D, U, B):
-    """Sequential block-tridiagonal solve over the leading axis (per-device interior)."""
+    """Per-device block-tridiagonal solve (interior elimination / separator system).
+
+    Delegates to the batched cyclic-reduction solver (`graph/solver.py:_tridiag_solve`)
+    — log2(m) levels of batched 6x6 ops instead of m sequential scan steps, and (unlike
+    the previous lax.scan form) no carry whose sharding type needs massaging under
+    shard_map."""
     m = D.shape[0]
     if m == 0:
         return B
-    M = B.shape[-1]
-    U_pad = jnp.concatenate([jnp.zeros((1, 6, 6), D.dtype), U], axis=0)
-
-    def fwd(carry, inp):
-        S_prev, y_prev = carry
-        Dk, Uk_prev, Bk = inp
-        G = jnp.linalg.solve(S_prev, Uk_prev)
-        S = Dk - jnp.swapaxes(Uk_prev, 0, 1) @ G
-        y = Bk - jnp.swapaxes(Uk_prev, 0, 1) @ jnp.linalg.solve(S_prev, y_prev)
-        return (S, y), (S, y, G)
-
-    # Derive the init carry from the operands so its sharding/varying type matches the
-    # body outputs under shard_map (a replicated literal init trips the varying-axis check).
-    init = (jnp.eye(6, dtype=D.dtype) + 0.0 * D[0], jnp.zeros((6, M), D.dtype) + 0.0 * B[0])
-    _, (S_all, y_all, G_all) = jax.lax.scan(fwd, init, (D, U_pad, B))
-    G_shift = jnp.concatenate([G_all[1:], jnp.zeros((1, 6, 6), D.dtype)], axis=0)
-
-    def bwd(x_next, inp):
-        Sk, yk, G_next = inp
-        xk = jnp.linalg.solve(Sk, yk) - G_next @ x_next
-        return xk, xk
-
-    _, xs = jax.lax.scan(bwd, 0.0 * B[0], (S_all, y_all, G_shift), reverse=True)
-    return xs
+    return gsolver._tridiag_solve(D, U, B)
 
 
 def schur_tridiag_solve(mesh: Mesh, D_blocks, U_blocks, B):

@@ -155,8 +155,21 @@ def make_ndt_matcher(cfg: NdtConfig, map_capacity: int):
     When `cfg.coarse_resolution` > 0 the target is a two-level pyramid and alignment runs
     coarse-then-fine, widening the basin past a single-resolution ndt_omp."""
     use_pyramid = cfg.coarse_resolution > 0.0
+    # Integer coarse/fine ratio -> derive the coarse map by merging the fine map's raw
+    # voxel moments (one pass over the points instead of two; ops/voxel.py
+    # build_ndt_pyramid). Non-integer ratios fall back to two independent builds.
+    factor = round(cfg.coarse_resolution / cfg.resolution) if use_pyramid else 0
+    fused_pyramid = use_pyramid and factor >= 2 and abs(
+        factor * cfg.resolution - cfg.coarse_resolution) < 1e-6
 
     def build_target(points, mask):
+        if fused_pyramid:
+            from lidar_graph_slam_tpu.ops.voxel import build_ndt_pyramid
+
+            return build_ndt_pyramid(
+                points, mask, jnp.float32(cfg.resolution), factor,
+                capacity=map_capacity, coarse_capacity=map_capacity // 2,
+            )
         fine = build_ndt_map(points, mask, jnp.float32(cfg.resolution), capacity=map_capacity)
         if not use_pyramid:
             return fine

@@ -117,3 +117,43 @@ def test_lookup_direct7(rng):
     # Every hit voxel's mean must be within the DIRECT7 reach (~2 cells).
     d = np.linalg.norm(np.asarray(means) - np.asarray(queries)[:, None, :], axis=-1)
     assert np.all(d[hit_np] < 2 * res * np.sqrt(3))
+
+
+def test_ndt_pyramid_matches_direct_builds(rng):
+    """build_ndt_pyramid: fine map identical to build_ndt_map; coarse map's Gaussians
+    exactly match a numpy oracle over the SAME partition (fine origin, coarse leaf) —
+    the moment-shift merge is algebraically exact, not an approximation."""
+    pts = rng.uniform(0, 24, size=(20000, 3)).astype(np.float32)
+    cloud = PointCloud.from_array(pts, capacity=32768)
+    res, factor = 2.0, 2
+    coarse, fine = voxel.build_ndt_pyramid(
+        cloud.points, cloud.mask, jnp.float32(res), factor,
+        capacity=4096, coarse_capacity=2048,
+    )
+    direct_fine = voxel.build_ndt_map(cloud.points, cloud.mask, jnp.float32(res), capacity=4096)
+    np.testing.assert_allclose(np.asarray(fine.means), np.asarray(direct_fine.means), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(fine.keys), np.asarray(direct_fine.keys))
+
+    # Oracle: group raw points by (fine-origin, coarse-leaf) voxel.
+    origin = np.asarray(fine.origin)
+    leaf_c = res * factor
+    coords = np.floor((pts - origin) / leaf_c).astype(np.int64)
+    keys = (coords[:, 0] << 19) | (coords[:, 1] << 8) | coords[:, 2]
+    c_means = np.asarray(coarse.means)
+    c_valid = np.asarray(coarse.valid)
+    c_covs_inv = np.asarray(coarse.inv_covs)
+    checked = 0
+    for k in np.unique(keys):
+        sel = pts[keys == k]
+        if sel.shape[0] < 6:
+            continue
+        mu = sel.mean(axis=0)
+        # find the pyramid voxel whose mean is nearest
+        j = int(np.argmin(np.linalg.norm(c_means - mu, axis=1)))
+        assert c_valid[j], f"coarse voxel missing for oracle cell {k}"
+        np.testing.assert_allclose(c_means[j], mu, atol=1e-3)
+        cov = np.cov(sel.T, bias=False)
+        # inv_covs inverts the regularized covariance; well-conditioned cells barely move.
+        np.testing.assert_allclose(c_covs_inv[j] @ cov, np.eye(3), atol=0.35)
+        checked += 1
+    assert checked >= 20
