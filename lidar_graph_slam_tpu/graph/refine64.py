@@ -1,0 +1,466 @@
+"""Float64 host-side pose-graph refinement — the GTSAM-precision tail of the solve.
+
+The reference back end optimizes entirely in double precision inside GTSAM
+(`graph_based_slam/include/graph_based_slam/graph_based_slam.hpp:38-46`). The jitted f32
+LM (`graph/solver.py:optimize`) descends well from a cold start, but at automotive scale
+f32 hits a measured convergence floor: translations of O(1e2..1e3) m stored in f32 carry
+~1e-5..1e-4 m rounding, and with chain information up to 1e8
+(`graph_based_slam.cpp:67-69`) the f32 gradient at the optimum is pure noise —
+scripts/diag_warm.py shows the K=4096 solver proposing norm-1.1 "steps" FROM its own
+optimum that would worsen the cost 76%. No amount of f32 iteration fixes that.
+
+This module finishes the job on the host in float64: vectorized numpy linearization of
+the same factors (identical twist ordering and Jacobian series as the device solver), a
+blocked-substructuring block-tridiagonal solve (the numpy port of the device solver's
+`_tridiag_solve_blocked` — level-3 BLAS, no LAPACK band sweeps), and the same Woodbury
+identity for loop factors. A few genuinely-quadratic Gauss-Newton iterations reach the
+true optimum, termination tests become meaningful, and the iSAM2-analog warm case
+(`graph_based_slam.cpp:373-374`: two cheap update() calls per keyframe) falls out
+naturally — at a converged graph the FIRST f64 step is at the f32-storage floor
+(~1e-4), one application of it re-centers the poses, and the solve returns.
+
+Division of labor mirrors the reference stack (PCL f32 front end + GTSAM f64 back end):
+the TPU runs every per-point kernel and the f32 LM descent/mesh-distributed solves; this
+tail is O(K) host algebra on 6x6 blocks — work the MXU cannot accelerate and f32 cannot
+finish.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_EPS = 1e-12
+
+
+# --- vectorized f64 SE(3) ----------------------------------------------------------------
+
+
+def hat(w: np.ndarray) -> np.ndarray:
+    """[..., 3] -> [..., 3, 3] skew-symmetric."""
+    out = np.zeros(w.shape[:-1] + (3, 3), np.float64)
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    out[..., 0, 1], out[..., 0, 2] = -wz, wy
+    out[..., 1, 0], out[..., 1, 2] = wz, -wx
+    out[..., 2, 0], out[..., 2, 1] = -wy, wx
+    return out
+
+
+def _sinc_coeffs(theta_sq: np.ndarray):
+    theta = np.sqrt(theta_sq + _EPS * _EPS)
+    small = theta_sq < 1e-16
+    A = np.where(small, 1.0 - theta_sq / 6.0, np.sin(theta) / theta)
+    B = np.where(small, 0.5 - theta_sq / 24.0, (1.0 - np.cos(theta)) / theta_sq)
+    C = np.where(small, 1.0 / 6.0 - theta_sq / 120.0,
+                 (theta - np.sin(theta)) / (theta_sq * theta))
+    return A, B, C
+
+
+def so3_exp(w: np.ndarray) -> np.ndarray:
+    theta_sq = np.sum(w * w, axis=-1)
+    A, B, _ = _sinc_coeffs(theta_sq)
+    W = hat(w)
+    W2 = W @ W
+    return np.eye(3) + A[..., None, None] * W + B[..., None, None] * W2
+
+
+def so3_log(R: np.ndarray) -> np.ndarray:
+    """Rotation matrices -> axis-angle via scipy (robust at all angles)."""
+    from scipy.spatial.transform import Rotation
+
+    shape = R.shape[:-2]
+    return Rotation.from_matrix(R.reshape(-1, 3, 3)).as_rotvec().reshape(shape + (3,))
+
+
+def _left_jacobian(w: np.ndarray) -> np.ndarray:
+    theta_sq = np.sum(w * w, axis=-1)
+    _, B, C = _sinc_coeffs(theta_sq)
+    W = hat(w)
+    return np.eye(3) + B[..., None, None] * W + C[..., None, None] * (W @ W)
+
+
+def _left_jacobian_inv(w: np.ndarray) -> np.ndarray:
+    theta_sq = np.sum(w * w, axis=-1)
+    theta = np.sqrt(theta_sq + _EPS * _EPS)
+    W = hat(w)
+    half = 0.5 * theta
+    cot_term = np.where(
+        theta_sq < 1e-16, 1.0 / 12.0 + theta_sq / 720.0,
+        (1.0 - half * np.cos(half) / np.maximum(np.sin(half), _EPS))
+        / np.maximum(theta_sq, _EPS * _EPS),
+    )
+    return np.eye(3) - 0.5 * W + cot_term[..., None, None] * (W @ W)
+
+
+def se3_exp(xi: np.ndarray) -> np.ndarray:
+    """Twist [..., 6] (omega, v) -> [..., 4, 4]."""
+    w, v = xi[..., :3], xi[..., 3:]
+    T = np.zeros(xi.shape[:-1] + (4, 4), np.float64)
+    T[..., :3, :3] = so3_exp(w)
+    T[..., :3, 3] = (_left_jacobian(w) @ v[..., None])[..., 0]
+    T[..., 3, 3] = 1.0
+    return T
+
+
+def se3_log(T: np.ndarray) -> np.ndarray:
+    w = so3_log(T[..., :3, :3])
+    v = (_left_jacobian_inv(w) @ T[..., :3, 3:4])[..., 0]
+    return np.concatenate([w, v], axis=-1)
+
+
+def inverse(T: np.ndarray) -> np.ndarray:
+    Rt = np.swapaxes(T[..., :3, :3], -1, -2)
+    out = np.zeros_like(T)
+    out[..., :3, :3] = Rt
+    out[..., :3, 3] = -(Rt @ T[..., :3, 3:4])[..., 0]
+    out[..., 3, 3] = 1.0
+    return out
+
+
+def adjoint(T: np.ndarray) -> np.ndarray:
+    """SE(3) adjoint, (omega, v) ordering: [[R, 0], [hat(t) R, R]]."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    out = np.zeros(T.shape[:-2] + (6, 6), np.float64)
+    out[..., :3, :3] = R
+    out[..., 3:, 3:] = R
+    out[..., 3:, :3] = hat(t) @ R
+    return out
+
+
+def _ad_se3(xi: np.ndarray) -> np.ndarray:
+    W = hat(xi[..., :3])
+    V = hat(xi[..., 3:])
+    out = np.zeros(xi.shape[:-1] + (6, 6), np.float64)
+    out[..., :3, :3] = W
+    out[..., 3:, 3:] = W
+    out[..., 3:, :3] = V
+    return out
+
+
+def _jr_inv(r: np.ndarray) -> np.ndarray:
+    """Inverse right Jacobian, same 2nd-order series as the device solver
+    (`graph/solver.py:_jr_inv`) — near the optimum r is tiny, so the series error is
+    far below the step sizes that matter and the two solvers share fixed points."""
+    ad = _ad_se3(r)
+    return np.eye(6) + 0.5 * ad + (1.0 / 12.0) * (ad @ ad)
+
+
+def between_residual(Ti, Tj, Z):
+    """r = log(Z^-1 Ti^-1 Tj) with Jacobians for right perturbations (f64 mirror of
+    `graph/solver.py:between_residual`)."""
+    E = inverse(Z) @ inverse(Ti) @ Tj
+    r = se3_log(E)
+    Jr = _jr_inv(r)
+    Jj = Jr
+    Ji = -Jr @ adjoint(inverse(Tj) @ Ti)
+    return r, Ji, Jj
+
+
+# --- graph view, cost, assembly ----------------------------------------------------------
+
+
+class GraphView:
+    """Host f64 view of an active pose graph (no padding; arrays sized to the live
+    counts). Factors and orderings match `graph/solver.py:PoseGraph`."""
+
+    def __init__(self, poses, odom_meas, prior_pose, odom_info,
+                 loop_i, loop_j, loop_meas, loop_info):
+        self.poses = np.asarray(poses, np.float64)            # [K, 4, 4]
+        self.odom_meas = np.asarray(odom_meas, np.float64)    # [K, 4, 4] (row 0 unused)
+        self.prior_pose = np.asarray(prior_pose, np.float64)  # [4, 4]
+        self.odom_info = np.asarray(odom_info, np.float64)    # [6]
+        self.loop_i = np.asarray(loop_i, np.int64)            # [L]
+        self.loop_j = np.asarray(loop_j, np.int64)
+        self.loop_meas = np.asarray(loop_meas, np.float64)    # [L, 4, 4]
+        self.loop_info = np.asarray(loop_info, np.float64)    # [L, 6]
+
+    @classmethod
+    def from_device_graph(cls, g) -> "GraphView":
+        """One batched fetch of a `solver.PoseGraph`'s ACTIVE slice."""
+        import jax
+
+        (poses, mask, odom, prior, info, li, lj, lm, linfo, lmask, np_, nl) = (
+            jax.device_get((g.poses, g.pose_mask, g.odom_meas, g.prior_pose,
+                            g.odom_info, g.loop_i, g.loop_j, g.loop_meas,
+                            g.loop_info, g.loop_mask, g.num_poses, g.num_loops)))
+        K = int(np_)
+        keep = np.asarray(lmask[: int(nl)])
+        return cls(poses[:K], odom[:K], prior, info,
+                   np.asarray(li[: int(nl)])[keep], np.asarray(lj[: int(nl)])[keep],
+                   np.asarray(lm[: int(nl)])[keep], np.asarray(linfo[: int(nl)])[keep])
+
+
+def cost(view: GraphView, poses: np.ndarray) -> float:
+    r0 = se3_log(inverse(view.prior_pose) @ poses[0])
+    c = float(np.sum(r0 * view.odom_info * r0))
+    if poses.shape[0] > 1:
+        r = se3_log(inverse(view.odom_meas[1:]) @ inverse(poses[:-1]) @ poses[1:])
+        c += float(np.sum(r * view.odom_info[None, :] * r))
+    if view.loop_i.size:
+        rl = se3_log(inverse(view.loop_meas)
+                     @ inverse(poses[view.loop_i]) @ poses[view.loop_j])
+        c += float(np.sum(rl * view.loop_info * rl))
+    return c
+
+
+def _assemble_chain(view: GraphView, poses: np.ndarray, damping: float):
+    """Chain-part normal system: block-tridiagonal (D [K,6,6], U [K-1,6,6]) and
+    gradient b [K,6] from prior + odometry factors (f64 mirror of
+    `graph/solver.py:_assemble_chain`)."""
+    K = poses.shape[0]
+    b = np.zeros((K, 6), np.float64)
+    D = np.zeros((K, 6, 6), np.float64)
+
+    r0 = se3_log(inverse(view.prior_pose) @ poses[0])
+    J0 = _jr_inv(r0)
+    J0W = J0.T * view.odom_info[None, :]
+    D[0] += J0W @ J0
+    b[0] -= J0W @ r0
+
+    U = np.zeros((max(K - 1, 0), 6, 6), np.float64)
+    if K > 1:
+        r, Ji, Jj = between_residual(poses[:-1], poses[1:], view.odom_meas[1:])
+        JiW = np.swapaxes(Ji, -1, -2) * view.odom_info[None, None, :]
+        JjW = np.swapaxes(Jj, -1, -2) * view.odom_info[None, None, :]
+        D[:-1] += JiW @ Ji
+        D[1:] += JjW @ Jj
+        U = JiW @ Jj                                      # block (k-1, k)
+        b[:-1] -= (JiW @ r[..., None])[..., 0]
+        b[1:] -= (JjW @ r[..., None])[..., 0]
+
+    D += damping * np.eye(6)[None]
+    return D, U, b
+
+
+class SparseV:
+    """Block-sparse whitened Woodbury columns V [6K, 6L]: column group l is supported
+    on block rows loop_i[l] and loop_j[l] only. Stored as 2L (row, block) pairs —
+    dense V products were the profile's top term at L = 64 (a [6K, 6L] GEMM per
+    iteration); with the block form every V product is O(L) small matmuls."""
+
+    def __init__(self, K: int, L: int, rows: np.ndarray, lidx: np.ndarray,
+                 blocks: np.ndarray):
+        self.K, self.L = K, L
+        self.rows = rows        # [2L] block-row ids
+        self.lidx = lidx        # [2L] column-group (loop) ids
+        self.blocks = blocks    # [2L, 6, 6]
+
+    def dense_rhs(self, dtype=np.float64) -> np.ndarray:
+        """Materialize as [K, 6, 6L] right-hand-side bundle for the tridiagonal solve."""
+        V = np.zeros((self.K, 6, self.L, 6), dtype)
+        np.add.at(V, (self.rows, slice(None), self.lidx), self.blocks)
+        return V.reshape(self.K, 6, 6 * self.L)
+
+    def t_apply(self, X: np.ndarray) -> np.ndarray:
+        """V^T X for X [K, 6, M] -> [6L, M] (gather at loop rows, tiny batched GEMMs)."""
+        g = np.swapaxes(self.blocks, -1, -2) @ X[self.rows]      # [2L, 6, M]
+        out = np.zeros((self.L, 6, X.shape[-1]))
+        np.add.at(out, self.lidx, g)
+        return out.reshape(6 * self.L, X.shape[-1])
+
+
+def _loop_terms(view: GraphView, poses: np.ndarray):
+    """Loop-factor gradient contribution b_loop [K,6] and block-sparse whitened
+    Woodbury columns (f64 mirror of `graph/solver.py:loop_gradient_and_whitened_columns`)."""
+    K = poses.shape[0]
+    L = view.loop_i.size
+    b_loop = np.zeros((K, 6), np.float64)
+    if not L:
+        return b_loop, SparseV(K, 0, np.zeros(0, np.int64), np.zeros(0, np.int64),
+                               np.zeros((0, 6, 6)))
+    rl, Jli, Jlj = between_residual(poses[view.loop_i], poses[view.loop_j],
+                                    view.loop_meas)
+    JiW = np.swapaxes(Jli, -1, -2) * view.loop_info[:, None, :]
+    JjW = np.swapaxes(Jlj, -1, -2) * view.loop_info[:, None, :]
+    np.subtract.at(b_loop, view.loop_i, (JiW @ rl[..., None])[..., 0])
+    np.subtract.at(b_loop, view.loop_j, (JjW @ rl[..., None])[..., 0])
+    sqrt_info = np.sqrt(view.loop_info)                   # [L, 6]
+    JiS = np.swapaxes(Jli, -1, -2) * sqrt_info[:, None, :]
+    JjS = np.swapaxes(Jlj, -1, -2) * sqrt_info[:, None, :]
+    rows = np.concatenate([view.loop_i, view.loop_j])
+    lidx = np.concatenate([np.arange(L), np.arange(L)])
+    blocks = np.concatenate([JiS, JjS], axis=0)
+    return b_loop, SparseV(K, L, rows, lidx, blocks)
+
+
+def _thomas64(D: np.ndarray, U: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Sequential block-Thomas solve (forward elimination + back substitution) for a
+    symmetric block-tridiagonal system. D [K,6,6], U [K-1,6,6] (= H[k,k+1]),
+    B [K,6,M] -> x [K,6,M]. Python-loop over K steps — used only for small K and the
+    substructured separator system."""
+    K = D.shape[0]
+    M = B.shape[-1]
+    dt = D.dtype
+    S = np.empty_like(D)
+    Y = np.empty_like(B)
+    G = np.empty((max(K - 1, 0), 6, 6), dt)
+    S[0], Y[0] = D[0], B[0]
+    for k in range(1, K):
+        Gk = np.linalg.solve(S[k - 1], U[k - 1])       # S_{k-1}^{-1} U_{k-1}
+        G[k - 1] = Gk
+        S[k] = D[k] - U[k - 1].T @ Gk
+        Y[k] = B[k] - Gk.T @ Y[k - 1]
+    x = np.empty((K, 6, M), dt)
+    x[K - 1] = np.linalg.solve(S[K - 1], Y[K - 1])
+    for k in range(K - 2, -1, -1):
+        x[k] = np.linalg.solve(S[k], Y[k]) - G[k] @ x[k + 1]
+    return x
+
+
+def _tridiag_solve64(D: np.ndarray, U: np.ndarray, B: np.ndarray, seg: int = 64) -> np.ndarray:
+    """Blocked substructuring solve — the f64 numpy port of
+    `graph/solver.py:_tridiag_solve_blocked` (same elimination identities; vmap becomes
+    numpy batching). Splits the K chain into S = ceil(K/seg) segments, eliminates all
+    interiors with seg batched [S,6,6]-shaped steps (turning LAPACK's per-RHS band
+    sweeps into level-3 BLAS — the 385-RHS Woodbury bundle at K = 4096 drops ~8x vs
+    `cho_solve_banded`), condenses onto the S-block separator system, and solves that
+    with the sequential Thomas recursion."""
+    K = D.shape[0]
+    M = B.shape[-1]
+    dt = D.dtype
+    if K <= 2 * seg:
+        return _thomas64(D, U, B)
+    S = -(-K // seg)
+    Kp = S * seg
+    if Kp != K:
+        pad = Kp - K
+        D = np.concatenate([D, np.tile(np.eye(6, dtype=dt)[None], (pad, 1, 1))], axis=0)
+        U = np.concatenate([U, np.zeros((pad + 1, 6, 6), dt)], axis=0)  # U has K-1 rows
+        U[K - 1] = 0.0  # decouple the identity padding from the real system
+        B = np.concatenate([B, np.zeros((pad, 6, M), dt)], axis=0)
+    else:
+        U = np.concatenate([U, np.zeros((1, 6, 6), dt)], axis=0)
+
+    D_s = D.reshape(S, seg, 6, 6)
+    B_s = B.reshape(S, seg, 6, M)
+    U_s = U.reshape(S, seg, 6, 6)
+    U_prev_last = np.concatenate([np.zeros((1, 6, 6), dt), U_s[:-1, seg - 1]], axis=0)
+    U_last_int = U_s[:, seg - 2]
+
+    # Interior elimination, batched over segments. STEP-MAJOR layout ([seg-1, S, ...]):
+    # every per-step operand is one contiguous leading-index slice — strided [:, k]
+    # views here made numpy's matmul fall off its BLAS fast path (measured 30x).
+    Mi = M + 12
+    rhs = np.zeros((seg - 1, S, 6, Mi), dt)
+    rhs[..., :M] = np.swapaxes(B_s[:, : seg - 1], 0, 1)
+    rhs[0, :, :, M:M + 6] = np.swapaxes(U_prev_last, -1, -2)
+    rhs[seg - 2, :, :, M + 6:] = U_last_int
+    Dint = np.ascontiguousarray(np.swapaxes(D_s[:, : seg - 1], 0, 1))
+    Uint = np.ascontiguousarray(np.swapaxes(U_s[:, : seg - 2], 0, 1))
+    Sf = np.empty((seg - 1, S, 6, 6), dt)
+    Yf = np.empty((seg - 1, S, 6, Mi), dt)
+    Gf = np.empty((max(seg - 2, 0), S, 6, 6), dt)
+    Sf[0], Yf[0] = Dint[0], rhs[0]
+    # NOTE the explicit temporaries: `X[k] = a - b @ c` (expression stored straight
+    # into the slice) hits a numpy slow path ~20x the temp-then-store form (measured).
+    for k in range(1, seg - 1):
+        Gk = np.linalg.solve(Sf[k - 1], Uint[k - 1])
+        Gf[k - 1] = Gk
+        t_s = np.swapaxes(Uint[k - 1], -1, -2) @ Gk
+        Sf[k] = Dint[k] - t_s
+        t_y = np.matmul(np.swapaxes(Gk, -1, -2), Yf[k - 1])
+        np.subtract(rhs[k], t_y, out=t_y)
+        Yf[k] = t_y
+    sol = np.empty((seg - 1, S, 6, Mi), dt)
+    sol[seg - 2] = np.linalg.solve(Sf[seg - 2], Yf[seg - 2])
+    for k in range(seg - 3, -1, -1):
+        t_v = np.linalg.solve(Sf[k], Yf[k])
+        t_g = np.matmul(Gf[k], sol[k + 1])
+        np.subtract(t_v, t_g, out=t_v)
+        sol[k] = t_v
+    sol = np.swapaxes(sol, 0, 1)                                  # back to [S, seg-1, ...]
+    y = sol[..., :M]
+    W_C = np.ascontiguousarray(sol[..., M:M + 6])   # contiguous: they feed broadcast
+    W_B = np.ascontiguousarray(sol[..., M + 6:])    # matmuls below (strided is ~20x)
+
+    Ct = U_prev_last
+    Bt = np.swapaxes(U_last_int, -1, -2)
+    CtW_C = Ct @ W_C[:, 0]
+    CtW_B = Ct @ W_B[:, 0]
+    Cty = Ct @ y[:, 0]
+    BtW_B = Bt @ W_B[:, seg - 2]
+    Bty = Bt @ y[:, seg - 2]
+
+    S_diag = D_s[:, seg - 1] - BtW_B
+    S_diag[:-1] -= CtW_C[1:]
+    S_off = -CtW_B[1:]
+    S_rhs = B_s[:, seg - 1] - Bty
+    S_rhs[:-1] -= Cty[1:]
+    x_sep = _thomas64(S_diag, S_off, S_rhs)                       # [S, 6, M]
+
+    x_prev = np.concatenate([np.zeros((1, 6, M), dt), x_sep[:-1]], axis=0)
+    t_c = np.matmul(W_C, x_prev[:, None])
+    t_b = np.matmul(W_B, x_sep[:, None])
+    x_int = np.ascontiguousarray(y)
+    np.subtract(x_int, t_c, out=x_int)
+    np.subtract(x_int, t_b, out=x_int)
+    out = np.concatenate([x_int, x_sep[:, None]], axis=1).reshape(Kp, 6, M)
+    return out[:K]
+
+
+def _solve_chain_plus_loops(D, U, b_chain, b_loop, V: SparseV):
+    """delta = H^-1 b with H = T + V V^T: substructured block-tridiagonal solve of the
+    chain system T for all 1+6L right-hand sides at once, then the Woodbury correction
+    for the loop factors (same identity as the device solver). All V products use the
+    block-sparse form — O(L) small matmuls, never a [6K, 6L] GEMM."""
+    b = (b_chain + b_loop)[..., None]
+    if V.L == 0:
+        return _tridiag_solve64(D, U, b)[..., 0]
+    # The whole bundle stays f64: the chain system's condition reaches ~1e8 (info 1e8
+    # over a long chain), so an f32 T-solve has NO correct digits (tried: the refined
+    # step exploded to 1e4). Everything here is O(K) host BLAS; f64 is the point.
+    rhs = np.concatenate([b, V.dense_rhs()], axis=-1)
+    sol = _tridiag_solve64(D, U, rhs)
+    Tinv_b = sol[..., :1]                                   # [K, 6, 1]
+    Tinv_V = sol[..., 1:]                                   # [K, 6, 6L]
+    small = np.eye(6 * V.L) + V.t_apply(Tinv_V)
+    z = np.linalg.solve(small, V.t_apply(Tinv_b)[:, 0])
+    return Tinv_b[..., 0] - Tinv_V @ z
+
+
+def refine(view: GraphView, max_iterations: int = 8, damping: float = 1e-9,
+           step_tolerance: float = 1e-8, floor_tolerance: float = 2e-3):
+    """Gauss-Newton (lightly damped) in f64 from `view.poses`.
+
+    Returns (poses [K,4,4] f64, info dict). info["initial_step_norm"] is the first
+    proposed step's max twist norm — the warm-detection signal: when it is below
+    `floor_tolerance` the graph was already converged up to the f32 storage floor; the
+    step is applied (it is genuine — it re-centers the f32-rounded poses onto the f64
+    optimum) and the solve returns after that single iteration.
+    """
+    poses = view.poses.copy()
+    c0 = cost(view, poses)
+    info = {"iterations": 0, "initial_step_norm": None, "converged": False,
+            "final_cost": c0}
+    lam = damping
+    for it in range(max_iterations):
+        D, U, b_chain = _assemble_chain(view, poses, lam)
+        b_loop, Vw = _loop_terms(view, poses)
+        try:
+            delta = _solve_chain_plus_loops(D, U, b_chain, b_loop, Vw)
+        except np.linalg.LinAlgError:  # not SPD — raise damping, retry next iter
+            lam = max(lam * 1e3, 1e-6)
+            continue
+        if not np.all(np.isfinite(delta)):
+            lam = max(lam * 1e3, 1e-6)
+            continue
+        step_norm = float(np.max(np.linalg.norm(delta, axis=-1)))
+        if info["initial_step_norm"] is None:
+            info["initial_step_norm"] = step_norm
+        cand = poses @ se3_exp(delta)
+        c1 = cost(view, cand)
+        info["iterations"] = it + 1
+        if c1 <= c0:
+            poses, c0 = cand, c1
+            lam = max(lam * 0.25, 1e-12)
+            warm = it == 0 and step_norm < floor_tolerance
+            if step_norm < step_tolerance or warm:
+                info["converged"] = True
+                break
+        else:
+            lam = min(max(lam, 1e-8) * 10.0, 1e6)
+            if step_norm < step_tolerance:
+                info["converged"] = True
+                break
+    info["final_cost"] = c0
+    return poses, info

@@ -61,10 +61,16 @@ class GraphBasedSLAM:
         # (or psum-chain) LM and batched loop verification shards candidates over the mesh.
         self.mesh = mesh
         self.backend_solver = backend_solver
-        if mesh is not None and capacity.max_keyframes % mesh.devices.size != 0:
+        if mesh is not None and (
+            capacity.max_keyframes % mesh.devices.size != 0
+            or capacity.max_keyframes // mesh.devices.size < 2
+        ):
+            # Divisibility AND >= 2 poses per device: the Schur interior elimination
+            # indexes U_loc[m-2], so m = 1 would wrap around to a silently wrong solve.
             raise ValueError(
-                f"capacity.max_keyframes={capacity.max_keyframes} must divide by the "
-                f"mesh size {mesh.devices.size} for the Schur domain decomposition"
+                f"capacity.max_keyframes={capacity.max_keyframes} must be a multiple of "
+                f"the mesh size {mesh.devices.size} with at least 2 keyframes per device "
+                f"for the Schur domain decomposition"
             )
         self._verify_fn = None
         # Keyframe inserts are deferred and flushed in batches (one dispatch per ~32
@@ -466,14 +472,26 @@ class GraphBasedSLAM:
         return min(b, self.capacity.max_keyframes)
 
     def _run_optimize(self) -> None:
-        """Global re-solve after factor insertion: Schur/psum-distributed LM over the
-        mesh when configured (`ParallelConfig`), single-chip LM otherwise. Runs up to
-        30 LM iterations with step-norm early exit, so the mesh and single-chip paths
-        land on the same f32-floor optimum (verified ~3 mm by
-        tests/test_pipeline_mesh.py) while warm re-solves pay ~1 iteration.
+        """Global re-solve after factor insertion — the hybrid f64-host + f32-device
+        solve (the iSAM2 stand-in, `graph_based_slam.cpp:373-374`):
 
+          1. Host f64 Gauss-Newton refinement (`graph/refine64.py`) from the current
+             estimates. A WARM graph (the per-keyframe incremental case) detects
+             convergence from its first f64 step and pays one O(K) host iteration —
+             no device work at all. Most cold solves (fresh loop factor) also converge
+             here: pose graphs are near-linear and f64 GN is quadratic.
+          2. Only if f64 GN did not converge in its budget (pathological start), the
+             device f32 LM descends first — Schur/psum-distributed over the mesh when
+             configured (`ParallelConfig`), single-chip otherwise — and the f64 tail
+             then finishes to the true optimum.
+
+        f64 matters here, not a luxury: GTSAM runs double precision throughout
+        (`graph_based_slam.hpp:38-46`), and at automotive scale the f32 gradient at
+        the optimum is pure storage-rounding noise (refine64.py module docstring).
         The solve operates on the active-size bucket (see `_bucket_size`); poses are
         written back into the full-capacity graph."""
+        from lidar_graph_slam_tpu.graph import refine64
+
         B = self._bucket_size()
         g = self.graph
         full = g.poses.shape[0]
@@ -483,18 +501,23 @@ class GraphBasedSLAM:
             )
         else:
             gb = g
-        if self.mesh is not None:
-            from lidar_graph_slam_tpu.parallel.distributed import mesh_optimize
+        view = refine64.GraphView.from_device_graph(gb)
+        poses64, info = refine64.refine(view)
+        if not info["converged"]:
+            if self.mesh is not None:
+                from lidar_graph_slam_tpu.parallel.distributed import mesh_optimize
 
-            gb = mesh_optimize(
-                self.mesh, gb, max_iterations=30, solver=self.backend_solver
-            )
-        else:
-            gb = solver.optimize(gb, max_iterations=30)
-        if B < full:
-            self.graph = g.replace(poses=g.poses.at[:B].set(gb.poses))
-        else:
-            self.graph = gb
+                gb = mesh_optimize(
+                    self.mesh, gb, max_iterations=30, solver=self.backend_solver
+                )
+            else:
+                gb = solver.optimize(gb, max_iterations=30)
+            view.poses = np.asarray(
+                jax.device_get(gb.poses), dtype=np.float64)[: view.poses.shape[0]]
+            poses64, info = refine64.refine(view)
+        k_act = poses64.shape[0]
+        new_poses = g.poses.at[:k_act].set(jnp.asarray(poses64, jnp.float32))
+        self.graph = g.replace(poses=new_poses)
 
     def on_frame(self) -> bool:
         """Per-frame cadence hook: runs a loop check every `loop_search_period_frames`

@@ -268,19 +268,93 @@ def _tridiag_solve(D: jax.Array, U: jax.Array, B: jax.Array) -> jax.Array:
     D: [K, 6, 6] diagonal blocks; U: [K-1, 6, 6] super-diagonal blocks (H[k, k+1]);
     B: [K, 6, M] right-hand sides. Returns x [K, 6, M].
 
-    Dispatches to batched cyclic reduction (`_tridiag_solve_cr`) — the sequential-scan
-    elimination below is kept as the reference implementation and for tiny systems.
+    Dispatch (real-TPU measurements, optimize(15) wall): batched cyclic reduction
+    (`_tridiag_solve_cr`) for mid-size systems — ~3x faster than the sequential scan at
+    K ~ 1024 (52 vs 161 ms). Above K = 2048 CR's per-level temporaries blow past VMEM
+    ([*,6,6] tensors tile to (8,128), so spilled bytes are 21x the payload; 2.7 s at
+    K = 4096) — there the blocked substructuring solve (`_tridiag_solve_blocked`) keeps
+    every stage batched with O(sqrt(K)) serial latency and bounded temporaries.
     """
     K = D.shape[0]
-    # Empirical window (real-TPU measurements, optimize(15) wall): CR is ~3x faster at
-    # K ~ 1024 (52 vs 161 ms) but ~4x SLOWER at K = 4096 inside the composed LM program
-    # (2.7 s vs 0.68 s) — its per-level temporaries blow past what the compiler keeps
-    # in registers/VMEM once K is large, and [*,6,6] tensors tile to (8,128) so spilled
-    # bytes are 21x the payload. The scan stays the fallback above the window.
     if 8 <= K < 2048:
         U_full = jnp.concatenate([U, jnp.zeros((1, 6, 6), D.dtype)], axis=0)
         return _tridiag_solve_cr(D, U_full, B)
+    if K >= 2048:
+        return _tridiag_solve_blocked(D, U, B)
     return _tridiag_solve_scan(D, U, B)
+
+
+def _tridiag_solve_blocked(D: jax.Array, U: jax.Array, B: jax.Array, seg: int = 64) -> jax.Array:
+    """Blocked substructuring solve: the single-device analog of the distributed Schur
+    decomposition (`parallel/schur.py:schur_tridiag_solve`), with vmap standing in for
+    the mesh axis and plain indexing for the collectives.
+
+    The K-block chain splits into S = K/seg segments; each segment's last block is a
+    *separator*. All S interior systems (seg-1 blocks each) are eliminated by ONE
+    batched scan (seg-1 steps of [S, 6, 6] ops — serial latency drops from K to
+    ~seg + S ~ 2 sqrt(K) while every step stays batched), condensing onto the S-block
+    separator tridiagonal system, which the same machinery solves recursively (CR for
+    8 <= S < 2048). Temporaries are bounded by one [S, seg, 6, M+12] bundle streamed a
+    scan-step at a time — no CR-style level pyramid to spill.
+
+    Requires K % seg == 0 and seg >= 3 (callers pad; `_tridiag_solve` guarantees this
+    for the power-of-two capacities the engine uses).
+    """
+    K = D.shape[0]
+    M = B.shape[-1]
+    dtype = D.dtype
+    assert K % seg == 0 and seg >= 3, (K, seg)
+    S = K // seg
+
+    D_s = D.reshape(S, seg, 6, 6)
+    B_s = B.reshape(S, seg, 6, M)
+    U_full = jnp.concatenate([U, jnp.zeros((1, 6, 6), dtype)], axis=0)
+    U_s = U_full.reshape(S, seg, 6, 6)
+
+    # Coupling from the previous segment's separator into our first interior block:
+    # C_s = U[s*seg - 1] (zero for segment 0).
+    U_prev_last = jnp.concatenate(
+        [jnp.zeros((1, 6, 6), dtype), U_s[:-1, seg - 1]], axis=0)      # [S, 6, 6]
+    U_last_int = U_s[:, seg - 2]                                        # [S, 6, 6]
+
+    # Interior systems: blocks 0..seg-2 of each segment.
+    D_int = D_s[:, : seg - 1]
+    U_int = U_s[:, : seg - 2]
+    b_int = B_s[:, : seg - 1]
+    # RHS bundle [b | C | Bc]: C nonzero only in interior row 0 (= U_prev^T), Bc nonzero
+    # only in interior row seg-2 (= U_last_int).
+    C_cols = jnp.zeros((S, seg - 1, 6, 6), dtype).at[:, 0].set(
+        jnp.swapaxes(U_prev_last, -1, -2))
+    B_cols = jnp.zeros((S, seg - 1, 6, 6), dtype).at[:, seg - 2].set(U_last_int)
+    rhs = jnp.concatenate([b_int, C_cols, B_cols], axis=-1)             # [S, seg-1, 6, M+12]
+    sol = jax.vmap(_tridiag_solve_scan)(D_int, U_int, rhs)
+    y = sol[..., :M]                    # T^-1 b_int
+    W_C = sol[..., M:M + 6]             # T^-1 C
+    W_B = sol[..., M + 6:]              # T^-1 Bc
+
+    # Separator system (S blocks). Row-0 / row-(seg-2) structure keeps products cheap:
+    # C^T T^-1 X = U_prev @ (T^-1 X)[0]; Bc^T T^-1 X = U_last_int^T @ (T^-1 X)[seg-2].
+    Ct = U_prev_last
+    Bt = jnp.swapaxes(U_last_int, -1, -2)
+    CtW_C = Ct @ W_C[:, 0]
+    CtW_B = Ct @ W_B[:, 0]
+    Cty = Ct @ y[:, 0]
+    BtW_B = Bt @ W_B[:, seg - 2]
+    Bty = Bt @ y[:, seg - 2]
+
+    # Segment s's interior elimination reduces: sep s-1 (via C), sep s (via Bc), and the
+    # cross term sep s-1 <-> sep s. Shift the C-side contributions down one row.
+    S_diag = D_s[:, seg - 1] - BtW_B
+    S_diag = S_diag.at[:-1].add(-CtW_C[1:])
+    S_off = -CtW_B[1:]                  # H_sep[s-1, s] = -C^T T^-1 Bc (from segment s)
+    S_rhs = B_s[:, seg - 1] - Bty
+    S_rhs = S_rhs.at[:-1].add(-Cty[1:])
+    x_sep = _tridiag_solve(S_diag, S_off, S_rhs)                        # [S, 6, M]
+
+    # Back-substitute interiors: x_int[s] = y - W_C x_sep[s-1] - W_B x_sep[s].
+    x_prev = jnp.concatenate([jnp.zeros((1, 6, M), dtype), x_sep[:-1]], axis=0)
+    x_int = y - W_C @ x_prev[:, None] - W_B @ x_sep[:, None]
+    return jnp.concatenate([x_int, x_sep[:, None]], axis=1).reshape(K, 6, M)
 
 
 def _tridiag_solve_scan(D: jax.Array, U: jax.Array, B: jax.Array) -> jax.Array:
@@ -414,6 +488,16 @@ def _solve_step(g: PoseGraph, poses: jax.Array, damping: jax.Array) -> jax.Array
     return woodbury_correct(Vw, sol[..., 0], sol[..., 1:])
 
 
+# The f32 convergence floor (measured, scripts/diag_warm.py): pose translations of
+# KITTI scale (~1e2 m) stored in f32 carry ~1e-5 m rounding, which info weights up to
+# 1e8 amplify into gradient noise — at the optimum LM proposes ~5e-4-norm garbage steps
+# that genuinely WORSEN the nonlinear cost and get rejected forever. GTSAM avoids this
+# by running in f64 (`graph_based_slam.hpp:38-46`); on TPU the honest f32 termination
+# signal is "a sub-millimeter step was REJECTED at healthy damping": the optimizer is at
+# the floor, more iterations cannot help. These two knobs encode that signal.
+_STUCK_STEP_TOL = 1e-3   # rejected steps below this norm are floor noise, not progress
+
+
 @partial(jax.jit, static_argnames=("max_iterations",))
 def optimize(
     g: PoseGraph, max_iterations: int = 10, init_damping: float = 1e-4,
@@ -422,10 +506,18 @@ def optimize(
     """Levenberg-Marquardt over the full graph; returns the graph with updated poses.
 
     Warm-started from current estimates — the incremental behavior that stands in for
-    iSAM2's Bayes-tree updates (SURVEY.md §7 layer 5). Early-exits once an ACCEPTED
-    step's max twist norm falls below `step_tolerance`: a warm re-solve (the common
-    per-keyframe case, `graph_based_slam.cpp:373-374`) converges in one iteration and
-    pays one, not `max_iterations`, solves.
+    iSAM2's Bayes-tree updates (SURVEY.md §7 layer 5; `graph_based_slam.cpp:373-374`).
+    Termination, in order of preference:
+      * an accepted step's cost improvement is < 1e-5 relative (true plateau; rejected
+        steps do NOT trigger this — a tiny rejected step after damping inflation says
+        nothing about being near the optimum),
+      * the proposed step norm is below `step_tolerance`,
+      * a sub-`_STUCK_STEP_TOL` step was REJECTED — the f32 floor (see note above). A
+        small full step at low damping only occurs near the optimum (far away, GN
+        proposes large steps); at high damping, tiny gradient-descent steps get
+        accepted whenever genuine progress exists — so a rejected sub-millimeter step
+        at any damping means the gradient is noise. A warm re-solve (graph already at
+        its optimum) pays ONE iteration, not `max_iterations`.
     """
     dtype = g.poses.dtype
 
@@ -440,20 +532,15 @@ def optimize(
         cand = poses @ se3.se3_exp(delta)
         cand_cost = graph_cost(g, cand)
         accept = cand_cost < cost0
-        # Stationary-point tests, independent of whether the f32 cost compare accepted
-        # the step (at the optimum LM proposes ~useless steps that get rejected on cost
-        # noise — gating on acceptance made warm re-solves run all max_iterations):
-        #   * the proposed step is tiny, or
-        #   * the proposed step changes the cost by < 1e-5 relative (with info up to
-        #     1e8 the f32 gradient noise keeps warm-point step norms well above any
-        #     fixed norm tolerance, so the cost plateau is the robust signal).
         step_norm = jnp.max(jnp.linalg.norm(delta, axis=-1))
-        plateau = jnp.abs(cand_cost - cost0) < 1e-5 * jnp.maximum(cost0, 1e-3)
+        plateau = accept & (
+            jnp.abs(cand_cost - cost0) < 1e-5 * jnp.maximum(cost0, 1e-3))
+        stuck = (~accept) & (step_norm < _STUCK_STEP_TOL)
         poses = jnp.where(accept, cand, poses)
         cost0 = jnp.where(accept, cand_cost, cost0)  # carry: one cost eval per iteration
         damping = jnp.where(accept, damping * 0.3, damping * 8.0)
         damping = jnp.clip(damping, 1e-9, 1e6)
-        done = (step_norm < step_tolerance) | plateau
+        done = (step_norm < step_tolerance) | plateau | stuck
         return poses, cost0, damping, it + 1, done
 
     poses, _, _, _, _ = jax.lax.while_loop(
@@ -462,3 +549,34 @@ def optimize(
          jnp.asarray(0, jnp.int32), jnp.asarray(False)),
     )
     return g.replace(poses=poses)
+
+
+def solve_incremental(g: PoseGraph, max_iterations: int = 30,
+                      refine_max_iterations: int = 8):
+    """Hybrid f64-host + f32-device pose-graph solve — the engine's public solve entry
+    (what `GraphBasedSLAM._run_optimize` runs; bench.py measures this).
+
+    Phase 1 is host f64 Gauss-Newton (`graph/refine64.py`): a WARM graph (already at
+    its optimum — the per-keyframe iSAM2 case, `graph_based_slam.cpp:373-374`) detects
+    convergence from its first f64 step and returns after ONE O(K) host iteration.
+    Cold graphs usually also converge here (f64 GN is quadratic on near-linear pose
+    graphs); only a non-converged budget escalates to the jitted f32 device LM
+    (`optimize`) with an f64 tail. Returns (solved PoseGraph, info dict)."""
+    import numpy as np
+
+    from lidar_graph_slam_tpu.graph import refine64
+
+    view = refine64.GraphView.from_device_graph(g)
+    poses64, info = refine64.refine(view, max_iterations=refine_max_iterations)
+    info["device_lm"] = False
+    if not info["converged"]:
+        g = optimize(g, max_iterations=max_iterations)
+        view.poses = np.asarray(
+            jax.device_get(g.poses), dtype=np.float64)[: view.poses.shape[0]]
+        poses64, info = refine64.refine(view, max_iterations=refine_max_iterations)
+        info["device_lm"] = True
+    k = poses64.shape[0]
+    return (
+        g.replace(poses=g.poses.at[:k].set(jnp.asarray(poses64, jnp.float32))),
+        info,
+    )

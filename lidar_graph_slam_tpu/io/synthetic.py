@@ -14,28 +14,37 @@ from __future__ import annotations
 import numpy as np
 
 
-def make_world(rng: np.random.Generator, extent: float = 60.0, density: float = 4.0) -> np.ndarray:
-    """Structured world point set [M, 3]: ground + perimeter walls + random boxes/pillars."""
+def make_world(
+    rng: np.random.Generator, extent: float = 60.0, density: float = 4.0,
+    wall_height: float = 3.0, box_height: tuple = (2.0, 6.0), n_boxes: int = 30,
+) -> np.ndarray:
+    """Structured world point set [M, 3]: ground + perimeter walls + random boxes/pillars.
+
+    `wall_height` / `box_height` / `n_boxes` shape the vertical scene: the 3 m defaults
+    give an open suburban course; tall values (urban canyon) fill the upward half of a
+    spinning lidar's elevation fan, which is what pushes per-scan return counts toward
+    the HDL-64's ~100k+ (open scenes cap near ~60k occupied beams regardless of point
+    density because up-beams see sky)."""
     pts = []
     n_ground = int(extent * extent * density * 0.25)
     g = rng.uniform(-extent, extent, size=(n_ground, 2))
     pts.append(np.concatenate([g, np.zeros((n_ground, 1))], axis=1))
 
-    # Perimeter walls (4 planes, 3 m high).
-    n_wall = int(extent * density * 6)
+    # Perimeter walls (4 planes).
+    n_wall = int(extent * density * 2 * wall_height)
     for axis, sign in ((0, 1), (0, -1), (1, 1), (1, -1)):
         w = np.zeros((n_wall, 3))
         w[:, axis] = sign * extent
         w[:, 1 - axis] = rng.uniform(-extent, extent, n_wall)
-        w[:, 2] = rng.uniform(0, 3.0, n_wall)
+        w[:, 2] = rng.uniform(0, wall_height, n_wall)
         pts.append(w)
 
     # Random boxes (buildings): 4 side faces each.
-    for _ in range(30):
+    for _ in range(n_boxes):
         cx, cy = rng.uniform(-extent * 0.8, extent * 0.8, 2)
         sx, sy = rng.uniform(2.0, 8.0, 2)
-        h = rng.uniform(2.0, 6.0)
-        n_face = int(density * 4 * (sx + sy))
+        h = rng.uniform(*box_height)
+        n_face = int(density * (sx + sy) * h)  # ~constant per-area density on the 4 faces
         for axis, sign in ((0, 1), (0, -1), (1, 1), (1, -1)):
             f = np.zeros((n_face, 3))
             size = (sx, sy)

@@ -211,7 +211,12 @@ def _eigh3x3(A: jax.Array):
             app, aqq, apq = a[(p, p)], a[(q, q)], a[key(p, q)]
             nz = jnp.abs(apq) > 0
             tau = (aqq - app) / (2.0 * jnp.where(nz, apq, one))
-            t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+            # Never-zero sign: tau == 0 (equal diagonal entries with nonzero coupling)
+            # must produce the exact 45-degree rotation t = 1, not t = 0 — jnp.sign
+            # would silently discard the off-diagonal mass there (symmetric/axis-
+            # diagonal point arrangements hit this case routinely).
+            sgn = jnp.where(tau >= 0, one, -one)
+            t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
             t = jnp.where(nz, t, zero)
             c = 1.0 / jnp.sqrt(1.0 + t * t)
             s = t * c

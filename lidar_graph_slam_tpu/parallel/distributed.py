@@ -173,6 +173,9 @@ def _woodbury_solve(g: gsolver.PoseGraph, D, U, b):
 
 
 _mesh_cost = jax.jit(gsolver.graph_cost)
+# Max twist-norm of the proposed step (right perturbation poses -> cand).
+_mesh_step_norm = jax.jit(lambda poses, cand: jnp.max(jnp.linalg.norm(
+    jax.vmap(se3.se3_log)(se3.inverse(poses) @ cand), axis=-1)))
 
 
 def mesh_optimize(
@@ -205,20 +208,22 @@ def mesh_optimize(
     for _ in range(max_iterations):
         cur = g.replace(poses=poses)
         cand = step(cur, damping)
-        cost0, cost1 = jax.device_get(
-            (_mesh_cost(g, poses), _mesh_cost(g, cand))
+        cost0, cost1, step_norm = jax.device_get(
+            (_mesh_cost(g, poses), _mesh_cost(g, cand), _mesh_step_norm(poses, cand))
         )
-        plateau = np.isfinite(cost1) and abs(cost0 - cost1) < 1e-9 * max(cost0, 1.0)
-        if np.isfinite(cost1) and cost1 < cost0:
+        accept = np.isfinite(cost1) and cost1 < cost0
+        # Same termination contract as `graph/solver.py:optimize`: plateau only on
+        # ACCEPTED steps; a REJECTED sub-millimeter step is the f32 floor (stuck) —
+        # a warm re-solve pays one iteration.
+        if accept:
             poses = cand
+            if abs(cost0 - cost1) < 1e-5 * max(cost0, 1e-3):
+                break
             damping = max(damping * 0.3, 1e-9)
         else:
+            if step_norm < gsolver._STUCK_STEP_TOL:
+                break
             damping = min(damping * 8.0, 1e6)
-        if plateau:
-            # The proposed step changes the cost negligibly — stationary point, whether
-            # the f32 cost compare accepted it or not (rejected-at-optimum otherwise
-            # burns every remaining iteration).
-            break
     return g.replace(poses=poses)
 
 

@@ -64,6 +64,7 @@ class SlamPipeline:
             backend_solver=cfg.parallel.backend_solver,
         )
         self.timings: dict[str, list] = {"prefilter": [], "register": [], "backend": []}
+        self.raw_truncation_count = 0
         self.odometry_poses: list[np.ndarray] = []
         self.kf_frame_indices: list[int] = []
         self._loop_attempts_emitted = 0
@@ -206,13 +207,25 @@ class SlamPipeline:
         """Pad the raw scan to the smallest power-of-two bucket (min 8192) that holds it,
         capped at `capacity.raw_points`. Buckets bound per-frame upload bytes to ~the
         actual scan size while keeping the set of compiled step shapes small (one per
-        bucket, compile-cached)."""
+        bucket, compile-cached). Scans larger than `capacity.raw_points` are truncated
+        — surfaced via `raw_truncation_count` and a metrics event, matching the
+        voxel/keyframe/loop overflow discipline (no silent caps)."""
+        from lidar_graph_slam_tpu.core.pointcloud import PAD_VALUE
+
         n = min(scan.shape[0], self.cfg.capacity.raw_points)
+        if scan.shape[0] > self.cfg.capacity.raw_points:
+            self.raw_truncation_count += 1
+            self.metrics_writer.emit({
+                "event": "raw_scan_truncated",
+                "frame": len(self.odometry_poses) + len(self._pending),
+                "scan_points": int(scan.shape[0]),
+                "capacity": int(self.cfg.capacity.raw_points),
+            })
         b = 8192
         while b < n:
             b *= 2
         b = min(b, self.cfg.capacity.raw_points)
-        out = np.full((b, 3), 1.0e6, dtype=np.float32)  # PAD_VALUE sentinel
+        out = np.full((b, 3), PAD_VALUE, dtype=np.float32)
         out[:n] = scan[:n]
         return out
 
@@ -235,6 +248,17 @@ class SlamPipeline:
             jnp.asarray(imu_R, jnp.float32) if use_imu else self._eye3,
             self._true if use_imu else self._false,
         )
+        # Start device->host copies NOW, non-blocking: by the time this frame is
+        # consumed (`pipeline_depth` frames later) the payload is already host-side, so
+        # the consume's device_get costs ~0 instead of one tunnel round trip. On the
+        # tunneled accelerator the round trip is the single largest per-frame cost and
+        # VARIES 25x between sessions (24-600 ms measured) — overlapping it is worth
+        # more than any kernel optimization in this driver.
+        for leaf in (out.pose, out.converged, out.is_keyframe, out.fitness,
+                     out.iterations, out.keyframe_id, out.accum_distance,
+                     out.kf_cloud, out.kf_mask):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
         t1 = time.perf_counter()
         self.timings["prefilter"].append(t1 - t0)  # host pad + upload + dispatch
         self._pending.append((frame_idx, t0, stamp, out))

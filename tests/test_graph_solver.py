@@ -155,3 +155,18 @@ def test_graph_cost_zero_when_consistent(rng):
     g = chain_graph(poses)
     c = float(solver.graph_cost(g, g.poses))
     assert c < 1e-3
+
+
+def test_blocked_tridiag_matches_scan(rng):
+    """The K >= 2048 blocked substructuring solve must agree with the sequential-scan
+    reference elimination (replaces the r03 serial fallback, VERDICT item 3)."""
+    K, M = 2048, 13
+    D = rng.normal(size=(K, 6, 6)).astype(np.float32)
+    D = np.einsum("kij,klj->kil", D, D) + 8 * np.eye(6, dtype=np.float32)
+    U = (0.1 * rng.normal(size=(K - 1, 6, 6))).astype(np.float32)
+    B = rng.normal(size=(K, 6, M)).astype(np.float32)
+    x_blk = solver._tridiag_solve_blocked(
+        jnp.asarray(D), jnp.asarray(U), jnp.asarray(B))
+    x_scan = solver._tridiag_solve_scan(jnp.asarray(D), jnp.asarray(U), jnp.asarray(B))
+    np.testing.assert_allclose(
+        np.asarray(x_blk), np.asarray(x_scan), rtol=2e-4, atol=2e-4)

@@ -157,3 +157,26 @@ def test_ndt_pyramid_matches_direct_builds(rng):
         np.testing.assert_allclose(c_covs_inv[j] @ cov, np.eye(3), atol=0.35)
         checked += 1
     assert checked >= 20
+
+
+def test_eigh3x3_equal_diagonal():
+    """ADVICE r03 (high): tau = 0 (equal diagonal entries with nonzero coupling) must
+    produce the exact 45-degree Jacobi rotation — jnp.sign(0) = 0 silently discarded
+    the off-diagonal mass and returned wrong eigenvalues for symmetric/axis-diagonal
+    point arrangements."""
+    import numpy as np
+
+    from lidar_graph_slam_tpu.ops.voxel import _eigh3x3
+
+    As = np.stack([
+        np.array([[1.0, 0.5, 0.0], [0.5, 1.0, 0.0], [0.0, 0.0, 2.0]]),
+        np.array([[2.0, 0.0, -0.3], [0.0, 5.0, 0.0], [-0.3, 0.0, 2.0]]),
+        np.array([[3.0, 1.0, 1.0], [1.0, 3.0, 1.0], [1.0, 1.0, 3.0]]),
+    ]).astype(np.float32)
+    w, V = _eigh3x3(jnp.asarray(As))
+    w, V = np.asarray(w), np.asarray(V)
+    for i in range(As.shape[0]):
+        w_ref = np.linalg.eigvalsh(As[i].astype(np.float64))
+        np.testing.assert_allclose(np.sort(w[i]), w_ref, atol=1e-5)
+        recon = (V[i] * w[i][None, :]) @ V[i].T
+        np.testing.assert_allclose(recon, As[i], atol=1e-5)
