@@ -51,9 +51,17 @@ class GraphBasedSLAM:
     device only for loop verification and map assembly — poses/factors stay on device."""
 
     def __init__(self, cfg: GraphSlamConfig, capacity: CapacityConfig,
-                 mesh=None, backend_solver: str = "schur"):
+                 mesh=None, backend_solver: str = "schur", cloud_store=None):
         self.cfg = cfg
         self.capacity = capacity
+        # Multi-host keyframe-cloud sharding (`parallel/multihost.py`): with a
+        # `HostShardedKeyframeStore`, each host persists only the clouds it owns
+        # (round-robin) — the per-host map memory scales 1/n_hosts, the BASELINE.json
+        # configs[4] "submap-partitioned graph". Every read (loop submap, latest cloud,
+        # map assembly) goes through the store's padded process_allgather; poses and
+        # the factor graph stay replicated. All hosts MUST run the same pipeline
+        # decisions (SPMD) — guaranteed by feeding every host the same scan stream.
+        self.cloud_store = cloud_store
         self.method = cfg.registration_method.upper()
         if self.method not in ("ICP", "GICP", "NDT"):
             raise ValueError(f"unknown loop registration_method {cfg.registration_method!r}")
@@ -151,7 +159,14 @@ class GraphBasedSLAM:
             pose = (prev_opt @ odom).astype(np.float32)
         self._pending_kf.append((pose, odom))
         cloud = np.asarray(kf["cloud"])[np.asarray(kf["cloud_mask"])]
-        self.kf_clouds.append(cloud.astype(np.float32))
+        if self.cloud_store is not None:
+            self.cloud_store.add(
+                self.n_keyframes,
+                cloud.astype(np.float32) if self.cloud_store.owns(self.n_keyframes)
+                else None,
+            )
+        else:
+            self.kf_clouds.append(cloud.astype(np.float32))
         self.kf_accum_dist.append(float(kf["accum_distance"]))
         stamp = kf.get("stamp") if hasattr(kf, "get") else None
         self.kf_stamps.append(None if stamp is None else float(stamp))
@@ -225,15 +240,25 @@ class GraphBasedSLAM:
 
     def _assemble_submap(self, center: int, half_window: int) -> np.ndarray:
         """Map-frame concat of keyframes [center-w, center+w] under current estimates
-        (`graph_based_slam.cpp:297-309`)."""
+        (`graph_based_slam.cpp:297-309`). With a sharded cloud store this is the DCN
+        boundary: one padded allgather ships the remote keyframes."""
         lo = max(0, center - half_window)
         hi = min(self.n_keyframes, center + half_window + 1)
+        if self.cloud_store is not None:
+            return self.cloud_store.assemble_submap(
+                lo, hi, np.stack(self._poses_host))
         poses = self._poses_host[lo:hi]
         chunks = []
         for k, T in zip(range(lo, hi), poses):
             pts = self.kf_clouds[k]
             chunks.append(pts @ T[:3, :3].T + T[:3, 3])
         return np.concatenate(chunks).astype(np.float32)
+
+    def _cloud(self, k: int) -> np.ndarray:
+        """Keyframe k's sensor/base-frame cloud (allgathered when sharded — SPMD)."""
+        if self.cloud_store is not None:
+            return self.cloud_store.get_cloud(k)
+        return self.kf_clouds[k]
 
     def _build_verify_fn(self):
         """One jitted program for the whole verification batch: coarse NDT pre-align ->
@@ -323,7 +348,7 @@ class GraphBasedSLAM:
 
         # Latest keyframe cloud in the map frame under the current estimate (`:246-252`).
         T_latest = self._poses_host[latest]
-        src = self.kf_clouds[latest] @ T_latest[:3, :3].T + T_latest[:3, 3]
+        src = self._cloud(latest) @ T_latest[:3, :3].T + T_latest[:3, 3]
         src_cloud = PointCloud.from_array(src, capacity=self.capacity.keyframe_points)
         corr_dist = min(self.cfg.icp.max_correspondence_distance, 2.0)
 
@@ -555,11 +580,14 @@ class GraphBasedSLAM:
         if cached is not None and cached[0] == key:
             return cached[1]
         poses = self.optimized_poses()
-        chunks = [
-            self.kf_clouds[k] @ poses[k][:3, :3].T + poses[k][:3, 3]
-            for k in range(self.n_keyframes)
-        ]
-        pts = np.concatenate(chunks).astype(np.float32)
+        if self.cloud_store is not None:
+            pts = self.cloud_store.assemble_submap(0, self.n_keyframes, poses)
+        else:
+            chunks = [
+                self.kf_clouds[k] @ poses[k][:3, :3].T + poses[k][:3, 3]
+                for k in range(self.n_keyframes)
+            ]
+            pts = np.concatenate(chunks).astype(np.float32)
         if resolution > 0.0:
             cap = max_points or pts.shape[0]
             cloud = PointCloud.from_array(pts, capacity=pts.shape[0])

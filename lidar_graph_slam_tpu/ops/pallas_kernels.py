@@ -39,18 +39,35 @@ def _cross(p, v):
 
 
 def _ndt_accum_kernel(params_ref, e_ref, w_ref, p_ref, wm_ref, out_ref):
-    """One grid step: accumulate H (6x6), g (6), stats over a [*, TILE] slab.
+    """One grid step: accumulate the 44 reduced quantities over a [*, TILE] slab as
+    PER-LANE partial sums.
 
     e_ref:  [3, T]  residuals (p - mu)
     w_ref:  [9, T]  inverse covariances, row-major (c00..c22)
     p_ref:  [3, T]  transformed source points (Jacobian anchor)
     wm_ref: [1, T]  hit mask (1.0 / 0.0)
-    out_ref: [8, 128] accumulator — H in [0:6, 0:6], g in [6, 0:6],
-             [7, 0] = sum of weights, [7, 1] = hit count.
+    out_ref: [48, 128] — row q holds quantity q's 128 lane-partials; the final
+             cross-lane reduce happens ONCE in XLA after the kernel. Rows 0..35 =
+             H[i, j] row-major (i * 6 + j), 36..41 = g, 42 = sum of weights,
+             43 = hit count, 44..47 padding.
+
+    WHY this layout (r04 rework): the previous kernel produced 44 SCALARS per grid
+    step — 44 full cross-lane reduction trees plus 44 one-hot (8, 128) selects per
+    step, which dominated the runtime at ~2% of streaming bandwidth. A [T] operand
+    lives as (T/128, 128) native tiles, so reducing over the SUBLANE axis only is a
+    handful of in-register adds per quantity; the expensive 128-lane tree is deferred
+    to one [48, 128] -> [48] reduce per CALL instead of 44 trees per STEP.
     """
     step = pl.program_id(0)
     d2 = params_ref[0]
     w_scale = params_ref[1]
+
+    T = e_ref.shape[1]
+    rows = T // _LANES
+
+    def lanes(v):
+        # [T] -> [rows, 128] (the operand's native tiling) -> per-lane partial [128].
+        return jnp.sum(v.reshape(rows, _LANES), axis=0)
 
     e = [e_ref[i, :] for i in range(3)]
     c = [w_ref[i, :] for i in range(9)]
@@ -91,26 +108,21 @@ def _ndt_accum_kernel(params_ref, e_ref, w_ref, p_ref, wm_ref, out_ref):
         for i in range(3):
             H_ww[i][j] = -col[i]
 
-    # Mosaic allows neither scatter nor scalar VMEM stores; place the 44 reduced scalars
-    # with one-hot masks over the (8, 128) accumulator (44 cheap selects per grid step).
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
-    acc = jnp.zeros((8, _LANES), dtype=jnp.float32)
-
-    def place(acc, i, j, val):
-        return acc + jnp.where((row_ids == i) & (col_ids == j), val, 0.0)
-
+    # Stack the 48 per-lane partial rows ([48, 128]) and accumulate into out_ref.
+    parts = []
     for i in range(3):
-        for j in range(3):
-            acc = place(acc, i, j, jnp.sum(w * H_ww[i][j]))
-            acc = place(acc, i, 3 + j, jnp.sum(w * H_wv[i][j]))
-            acc = place(acc, 3 + i, j, jnp.sum(w * H_wv[j][i]))      # (P W)^T
-            acc = place(acc, 3 + i, 3 + j, jnp.sum(w * W[i][j]))
+        row_ww = [lanes(w * H_ww[i][j]) for j in range(3)]
+        row_wv = [lanes(w * H_wv[i][j]) for j in range(3)]
+        parts.append(jnp.stack(row_ww + row_wv))                     # H rows 0..2
     for i in range(3):
-        acc = place(acc, 6, i, jnp.sum(w * g_w[i]))
-        acc = place(acc, 6, 3 + i, jnp.sum(w * g_v[i]))
-    acc = place(acc, 7, 0, jnp.sum(w))
-    acc = place(acc, 7, 1, jnp.sum(hit))
+        row_vw = [lanes(w * H_wv[j][i]) for j in range(3)]           # (P W)^T
+        row_vv = [lanes(w * W[i][j]) for j in range(3)]
+        parts.append(jnp.stack(row_vw + row_vv))                     # H rows 3..5
+    gs = [lanes(w * g_w[i]) for i in range(3)] + [lanes(w * g_v[i]) for i in range(3)]
+    parts.append(jnp.stack(gs))                                      # g row
+    zero = jnp.zeros((_LANES,), jnp.float32)
+    parts.append(jnp.stack([lanes(w), lanes(hit), zero, zero, zero, zero]))
+    acc = jnp.concatenate(parts, axis=0)                             # [48, 128]
 
     @pl.when(step == 0)
     def _():
@@ -144,7 +156,7 @@ def ndt_accumulate(e, icovs, p, hit, d2, w_scale, interpret: bool = False):
     params = jnp.stack([jnp.asarray(d2, jnp.float32), jnp.asarray(w_scale, jnp.float32)])
     out = pl.pallas_call(
         _ndt_accum_kernel,
-        out_shape=jax.ShapeDtypeStruct((8, _LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((48, _LANES), jnp.float32),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -153,13 +165,15 @@ def ndt_accumulate(e, icovs, p, hit, d2, w_scale, interpret: bool = False):
             pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, _LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((48, _LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(params, eT, wT, pT, hT)
 
-    H = out[0:6, 0:6]
-    g = out[6, 0:6]
-    return H, g, out[7, 0], out[7, 1]
+    # One cross-lane reduce for the whole call (the kernel keeps per-lane partials).
+    sums = jnp.sum(out, axis=1)                      # [48]
+    H = sums[:36].reshape(6, 6)
+    g = sums[36:42]
+    return H, g, sums[42], sums[43]
 
 
 def ndt_accumulate_xla(e, icovs, p, hit, d2, w_scale):

@@ -17,6 +17,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -66,7 +67,15 @@ def _step(state: BatchFrontState, scan, scan_mask, cfg: ScanMatcherConfig, map_c
     vm = build_ndt_map(world.reshape(-1, 3), m.reshape(-1), jnp.float32(cfg.ndt.resolution),
                        capacity=map_capacity)
 
-    guess = jnp.where(state.kf_count > 0, state.pose @ state.last_motion, jnp.eye(4))
+    # Initial-guess model follows the config like the live front end: the default is
+    # the reference's constant-pose (`lidar_scan_matcher.cpp:165`) — the STABLE model;
+    # constant-velocity extrapolation has closed-loop gain ~2/frame on pose error
+    # (core/config.py discussion) and measurably diverged this driver (err doubling
+    # per frame from f~15 on the 90-frame circle).
+    if cfg.initial_guess == "constant_velocity":
+        guess = jnp.where(state.kf_count > 0, state.pose @ state.last_motion, jnp.eye(4))
+    else:
+        guess = state.pose
     if cfg.ndt.coarse_resolution > 0.0:
         vm_coarse = build_ndt_map(
             world.reshape(-1, 3), m.reshape(-1), jnp.float32(cfg.ndt.coarse_resolution),
@@ -155,3 +164,59 @@ def batch_odometry(scans, masks, cfg: ScanMatcherConfig, map_capacity: int = 327
         scans = jax.device_put(scans, sh)
         masks = jax.device_put(masks, sh)
     return _run_batch(scans, masks, cfg, map_capacity)
+
+
+def batch_slam(scans, masks, cfg: ScanMatcherConfig, graph_cfg=None, capacity=None,
+               map_capacity: int = 32768, mesh=None, loop_every_keyframes: int = 5):
+    """Multi-sequence SLAM: mesh-sharded batched odometry + a full graph back end
+    (loop closure + hybrid f64/f32 BA) per sequence — BASELINE.json configs[3]
+    ("multi-sequence batch: sharded keyframes, distributed BA on 1 host") as one call.
+
+    The front end runs all B sequences as ONE device program (`batch_odometry`, batch
+    axis over the mesh). Keyframes are then exported per sequence (pose, accumulated
+    distance, and the keyframe's scan sliced from the input batch) into a per-sequence
+    `GraphBasedSLAM` back end — the same detector/verifier/solver stack as the live
+    pipeline, so per-sequence trajectories match what the single-sequence pipeline
+    produces for the same odometry. A loop-closure attempt runs every
+    `loop_every_keyframes` inserts (the reference's 1 Hz timer cadence,
+    `graph_based_slam.cpp:71-74`, in keyframe units).
+
+    Returns a list of B dicts: {"odometry_poses" [F,4,4], "keyframe_poses" [K,4,4],
+    "keyframe_frame_indices" [K], "num_loop_closures", "loop_log"}.
+    """
+    from lidar_graph_slam_tpu.core.config import CapacityConfig, GraphSlamConfig
+    from lidar_graph_slam_tpu.graph.slam import GraphBasedSLAM
+
+    graph_cfg = graph_cfg or GraphSlamConfig()
+    capacity = capacity or CapacityConfig()
+    scans_np = np.asarray(scans)
+    masks_np = np.asarray(masks)
+    _, outs = batch_odometry(scans_np, masks_np, cfg, map_capacity, mesh)
+    outs = jax.device_get(outs)
+    B = scans_np.shape[0]
+
+    results = []
+    for b in range(B):
+        back = GraphBasedSLAM(graph_cfg, capacity)
+        kf_frames = np.nonzero(np.asarray(outs["is_keyframe"][b]))[0]
+        since_attempt = 0
+        for f in kf_frames:
+            back.add_keyframe({
+                "pose": np.asarray(outs["pose"][b, f], np.float32),
+                "cloud": scans_np[b, f],
+                "cloud_mask": masks_np[b, f],
+                "accum_distance": float(outs["accum_dist"][b, f]),
+            })
+            since_attempt += 1
+            if since_attempt >= loop_every_keyframes:
+                since_attempt = 0
+                back.try_close_loop()
+        back.try_close_loop()  # final attempt once the full sequence is in
+        results.append({
+            "odometry_poses": np.asarray(outs["pose"][b]),
+            "keyframe_poses": back.optimized_poses(),
+            "keyframe_frame_indices": kf_frames,
+            "num_loop_closures": sum(1 for l in back.loop_log if l["accepted"]),
+            "loop_log": back.loop_log,
+        })
+    return results

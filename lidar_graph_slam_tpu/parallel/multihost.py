@@ -141,6 +141,13 @@ class HostShardedKeyframeStore:
         out[:n] = pts[:n]
         return out, n
 
+    def get_cloud(self, k: int) -> np.ndarray:
+        """Fetch keyframe k's raw (sensor/base-frame) cloud on EVERY host — one padded
+        allgather (SPMD: all hosts must call together). The back end uses this for the
+        latest-keyframe cloud in loop verification (`graph_based_slam.cpp:246-252`)."""
+        poses = np.tile(np.eye(4, dtype=np.float32)[None], (k + 1, 1, 1))
+        return self.assemble_submap(k, k + 1, poses)
+
     def assemble_submap(self, lo: int, hi: int, poses: np.ndarray) -> np.ndarray:
         """Map-frame concat of keyframes [lo, hi) under `poses` [K, 4, 4] (replicated).
 

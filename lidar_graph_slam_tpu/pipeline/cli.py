@@ -35,7 +35,32 @@ def main(argv=None) -> int:
                          "the during-run view standing in for the reference's rviz "
                          "profile (map, trajectories, accepted AND rejected loop "
                          "candidates); 0 disables")
+    ap.add_argument("--multihost", action="store_true",
+                    help="initialize jax.distributed from LGS_COORDINATOR / "
+                         "LGS_NUM_PROCESSES / LGS_PROCESS_ID and run the pipeline "
+                         "SPMD across processes with the keyframe-cloud store sharded "
+                         "per host (city-scale memory partitioning). Every process "
+                         "must receive the same scan stream; process 0 writes outputs.")
     args = ap.parse_args(argv)
+
+    is_primary = True
+    if args.multihost:
+        from lidar_graph_slam_tpu.parallel.multihost import initialize_from_env
+
+        if not initialize_from_env():
+            print("[tpu-slam] --multihost: no LGS_* coordinator env, "
+                  "running single-process")
+        else:
+            import jax as _jax
+
+            is_primary = _jax.process_index() == 0
+            print(f"[tpu-slam] multihost: process {_jax.process_index()}/"
+                  f"{_jax.process_count()}")
+            if not is_primary:
+                # Every process executes the full SPMD run (map assembly is a
+                # collective — all hosts must participate); secondaries write their
+                # (identical) outputs to a per-process dir instead of racing on files.
+                args.output = f"{args.output}-p{_jax.process_index()}"
 
     from lidar_graph_slam_tpu.core.config import apply_cli_overrides, load_config
     from lidar_graph_slam_tpu.utils.jit_cache import enable_compilation_cache

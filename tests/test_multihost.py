@@ -37,7 +37,7 @@ def test_two_process_mesh_end_to_end():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -46,6 +46,7 @@ def test_two_process_mesh_end_to_end():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
         assert "MULTIHOST_OK" in out, f"worker {i} did not complete:\n{out[-4000:]}"
+        assert "MULTIHOST_PIPELINE_OK" in out, f"worker {i} pipeline phase failed:\n{out[-4000:]}"
 
 
 def test_initialize_from_env_single_process_noop(monkeypatch):

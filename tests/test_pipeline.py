@@ -37,14 +37,14 @@ def small_config():
 
 
 @pytest.mark.slow
-def test_full_slam_with_loop_closure():
+def test_full_slam_with_loop_closure(course90, course90_single_result):
+    # The pipeline run is the shared session fixture (one 90-frame run serves this
+    # test and the mesh-comparison test — VERDICT r03 item 10).
     n_frames = 90
-    seq = SyntheticSequence(n_frames=n_frames, seed=3, max_points=8192, radius=30.0, laps=1.1)
-    pipe = SlamPipeline(small_config())
-    result = pipe.run(seq)
-
-    T0_inv = np.linalg.inv(seq.poses[0])
-    gt = np.stack([(T0_inv @ p).astype(np.float32) for p in seq.poses])
+    result = course90_single_result
+    _, gt_all = course90
+    T0_inv = np.linalg.inv(gt_all[0])
+    gt = np.stack([(T0_inv @ p).astype(np.float32) for p in gt_all])
 
     assert result.odometry_poses.shape == (n_frames, 4, 4)
     assert result.keyframe_poses.shape[0] >= 5

@@ -42,18 +42,13 @@ def _pipe_config(use_mesh: bool, backend_solver: str = "schur") -> PipelineConfi
 
 
 @pytest.mark.slow
-def test_mesh_pipeline_matches_single_chip():
+def test_mesh_pipeline_matches_single_chip(course90, course90_single_result):
     """The integrated mesh path (Schur-distributed solve + batched verification) must
-    reproduce the single-chip trajectory on the same input stream."""
-    n_frames = 90
-
-    def run(cfg):
-        seq = SyntheticSequence(n_frames=n_frames, seed=3, max_points=8192,
-                                radius=30.0, laps=1.1)
-        return SlamPipeline(cfg).run(seq)
-
-    r_single = run(_pipe_config(use_mesh=False))
-    r_mesh = run(_pipe_config(use_mesh=True, backend_solver="schur"))
+    reproduce the single-chip trajectory on the same input stream. The single-chip run
+    is the shared session fixture (same config as `_pipe_config(use_mesh=False)`)."""
+    scans, _ = course90
+    r_single = course90_single_result
+    r_mesh = SlamPipeline(_pipe_config(use_mesh=True, backend_solver="schur")).run(scans)
 
     assert r_single.num_loop_closures >= 1
     assert r_mesh.num_loop_closures == r_single.num_loop_closures

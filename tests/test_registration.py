@@ -221,3 +221,29 @@ def test_gicp_reciprocal_converges_and_filters(scans):
     # Reciprocity can only remove pairs.
     assert int(res.num_inliers) <= int(res_plain.num_inliers)
     assert int(res.num_inliers) > 1000  # but keeps the bulk on a true pair
+
+
+def test_ndt_line_search_converges(rng):
+    """The More-Thuente stand-in (backtracking on the fixed-correspondence Magnusson
+    score, `ndt_align(line_search=True)`) must recover a known transform at least as
+    well as the default capped-step path from an aggressive initial offset."""
+    from lidar_graph_slam_tpu.io.synthetic import make_world, simulate_scan
+    from lidar_graph_slam_tpu.ops.voxel import build_ndt_map
+    from lidar_graph_slam_tpu.registration.ndt import ndt_align
+
+    world = make_world(rng, extent=40.0, density=4.0)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = (5.0, -3.0, 1.5)
+    target_scan = simulate_scan(world, np.eye(4, dtype=np.float32), rng,
+                                max_points=8192, noise=0.01)
+    tc = PointCloud.from_array(target_scan, capacity=8192)
+    vm = build_ndt_map(tc.points, tc.mask, jnp.float32(2.0), capacity=16384)
+
+    src_scan = simulate_scan(world, pose, rng, max_points=8192, noise=0.01)
+    sc = PointCloud.from_array(src_scan, capacity=8192)
+    guess = np.eye(4, dtype=np.float32)
+    guess[:3, 3] = (3.5, -2.0, 1.2)  # ~1.9 m off the true pose
+    res = ndt_align(vm, sc.points, sc.mask, jnp.asarray(guess), line_search=True)
+    assert bool(res.converged)
+    T = np.asarray(res.transform)
+    assert np.linalg.norm(T[:3, 3] - pose[:3, 3]) < 0.3, T[:3, 3]
