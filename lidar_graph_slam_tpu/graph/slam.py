@@ -98,6 +98,13 @@ class GraphBasedSLAM:
         # ZERO device reads; the mirror is refreshed with one batched device_get after each
         # optimize() call.
         self._poses_host: list[np.ndarray] = []
+        # Host mirrors of the factor data (odometry measurements + loop factors): the
+        # f64 refinement tier solves straight from these — a warm re-solve costs ZERO
+        # device round trips (on the tunneled accelerator one fetch is 25-600 ms,
+        # more than the whole solve at production sizes).
+        self._host_odoms: list[np.ndarray] = []
+        self._host_loops: list[tuple] = []   # (i, j, Z [4,4], info [6])
+        self._host_prior: np.ndarray = np.eye(4, dtype=np.float64)  # anchor for pose 0
         self.loop_log: list[dict] = []
         self.n_keyframes = 0
         self.n_loops = 0
@@ -158,6 +165,9 @@ class GraphBasedSLAM:
             prev_opt = self._poses_host[self.n_keyframes - 1]
             pose = (prev_opt @ odom).astype(np.float32)
         self._pending_kf.append((pose, odom))
+        self._host_odoms.append(odom)
+        if self.n_keyframes == 0:
+            self._host_prior = np.asarray(pose, np.float64)
         cloud = np.asarray(kf["cloud"])[np.asarray(kf["cloud_mask"])]
         if self.cloud_store is not None:
             self.cloud_store.add(
@@ -467,20 +477,39 @@ class GraphBasedSLAM:
             self.graph = solver.graph_add_loop(
                 self.graph, jnp.asarray(latest), jnp.asarray(cand), Z, info
             )
+            self._host_loops.append(
+                (latest, cand, np.asarray(Z, np.float64), np.asarray(info, np.float64)))
             self.n_loops += 1
             record["accepted"] = True
             any_accepted = True
 
         if not any_accepted:
             return False
-        self._run_optimize()
-        # Refresh the host pose mirror with one batched read (the reference's deferred
-        # `adjust_pose`, `graph_based_slam.cpp:417-432`).
-        self._poses_host = list(
-            np.asarray(jax.device_get(self.graph.poses[: self.n_keyframes]))
-        )
+        self._run_optimize()  # also refreshes the host pose mirror (the reference's
+        # deferred `adjust_pose`, `graph_based_slam.cpp:417-432`)
         self.is_loop_closed = True
         return True
+
+    def _host_view(self):
+        """f64 `GraphView` assembled from the HOST factor mirrors — no device fetch
+        (one tunnel round trip is 25-600 ms, typically more than the solve)."""
+        from lidar_graph_slam_tpu.graph import refine64
+
+        n = self.n_keyframes
+        if self._host_loops:
+            li, lj, lz, linfo = zip(*self._host_loops)
+            lz = np.stack(lz)
+            linfo = np.stack(linfo)
+        else:
+            li, lj = (), ()
+            lz = np.zeros((0, 4, 4), np.float64)
+            linfo = np.zeros((0, 6), np.float64)
+        return refine64.GraphView(
+            np.stack(self._poses_host), np.stack(self._host_odoms[:n]),
+            self._host_prior,
+            1.0 / np.asarray(self.cfg.odom_noise_var, np.float64),
+            li, lj, lz, linfo,
+        )
 
     def _bucket_size(self) -> int:
         """Active-size bucket for the solve: smallest power-of-two >= n_keyframes
@@ -526,7 +555,7 @@ class GraphBasedSLAM:
             )
         else:
             gb = g
-        view = refine64.GraphView.from_device_graph(gb)
+        view = self._host_view()
         poses64, info = refine64.refine(view)
         if not info["converged"]:
             if self.mesh is not None:
@@ -543,6 +572,9 @@ class GraphBasedSLAM:
         k_act = poses64.shape[0]
         new_poses = g.poses.at[:k_act].set(jnp.asarray(poses64, jnp.float32))
         self.graph = g.replace(poses=new_poses)
+        # Host mirror refresh comes from the solve itself — zero device reads.
+        p32 = poses64.astype(np.float32)
+        self._poses_host = [p32[k] for k in range(k_act)]
 
     def on_frame(self) -> bool:
         """Per-frame cadence hook: runs a loop check every `loop_search_period_frames`

@@ -127,8 +127,19 @@ def load_pipeline(path: str) -> SlamPipeline:
     back.n_keyframes = int(z["graph_num_poses"])
     back.is_loop_closed = any(l.get("accepted") for l in back.loop_log)
 
-    # Back end's host pose mirror (fast path: zero device reads per frame).
+    # Back end's host mirrors (fast path: zero device reads per frame / per solve).
     back._poses_host = [np.asarray(p, np.float32) for p in z["graph_poses"][: back.n_keyframes]]
+    back._host_odoms = [
+        np.asarray(o, np.float64) for o in z["graph_odom_meas"][: back.n_keyframes]]
+    back._host_prior = np.asarray(z["graph_prior_pose"], np.float64)
+    n_loops = int(z["graph_num_loops"])
+    back.n_loops = n_loops
+    back._host_loops = [
+        (int(z["graph_loop_i"][l]), int(z["graph_loop_j"][l]),
+         np.asarray(z["graph_loop_meas"][l], np.float64),
+         np.asarray(z["graph_loop_info"][l], np.float64))
+        for l in range(n_loops) if bool(z["graph_loop_mask"][l])
+    ]
 
     # Front end.
     ring_arrays = dict(
