@@ -556,8 +556,16 @@ class GraphBasedSLAM:
         else:
             gb = g
         view = self._host_view()
-        poses64, info = refine64.refine(view)
+        poses64, info = refine64.refine(view, max_iterations=2)  # warm probe
         if not info["converged"]:
+            # Cold: CONTINUE in f64 (quadratic, reliable at this conditioning); the
+            # device LM is the fallback only if f64 itself stalls below.
+            view.poses = poses64
+            poses64, info = refine64.refine(view, max_iterations=12)
+        if not info["converged"]:
+            view.poses = poses64  # keep the f64 progress for the device start
+            gb = gb.replace(poses=gb.poses.at[: poses64.shape[0]].set(
+                jnp.asarray(poses64, jnp.float32)))
             if self.mesh is not None:
                 from lidar_graph_slam_tpu.parallel.distributed import mesh_optimize
 
@@ -568,7 +576,7 @@ class GraphBasedSLAM:
                 gb = solver.optimize(gb, max_iterations=30)
             view.poses = np.asarray(
                 jax.device_get(gb.poses), dtype=np.float64)[: view.poses.shape[0]]
-            poses64, info = refine64.refine(view)
+            poses64, info = refine64.refine(view, max_iterations=6)
         k_act = poses64.shape[0]
         new_poses = g.poses.at[:k_act].set(jnp.asarray(poses64, jnp.float32))
         self.graph = g.replace(poses=new_poses)

@@ -19,6 +19,13 @@ chosen for TPU structure instead of the Bayes tree:
 
 All factors use the twist ordering (omega, v), so the reference's noise vector
 sigma^2 = [1e-6 x3, 1e-8, 1e-8, 1e-6] (`graph_based_slam.cpp:67-69`) maps verbatim.
+
+PRECISION (r04): this jitted f32 solver is the DESCENT tier. At automotive scale the
+f32 gradient at the optimum is storage-rounding noise (measured: scripts/diag_warm.py),
+so `solve_incremental` pairs it with the host float64 tier (`graph/refine64.py`) —
+mirroring the reference's own split of f32 PCL registration + f64 GTSAM optimization.
+Use `solve_incremental` (or `GraphBasedSLAM`, which wraps it with host-mirrored state)
+as the solve entry point; `optimize` alone converges only to the f32 floor.
 """
 
 from __future__ import annotations
@@ -552,7 +559,7 @@ def optimize(
 
 
 def solve_incremental(g: PoseGraph, max_iterations: int = 30,
-                      refine_max_iterations: int = 8):
+                      probe_iterations: int = 2, refine_max_iterations: int = 12):
     """Hybrid f64-host + f32-device pose-graph solve — the engine's public solve entry
     (what `GraphBasedSLAM._run_optimize` runs; bench.py measures this).
 
@@ -567,14 +574,29 @@ def solve_incremental(g: PoseGraph, max_iterations: int = 30,
     from lidar_graph_slam_tpu.graph import refine64
 
     view = refine64.GraphView.from_device_graph(g)
-    poses64, info = refine64.refine(view, max_iterations=refine_max_iterations)
+    # Warm probe: a converged graph (the recurring iSAM2 case) finishes inside
+    # `probe_iterations`. Cold graphs CONTINUE in f64 — its GN is quadratic and, at
+    # automotive conditioning, strictly more reliable than the f32 device LM (handing
+    # a midway state to the f32 LM was measured to kick K=4096/L=64 into a bad basin
+    # it never left). The device LM is the fallback ONLY when f64 itself stalls.
+    poses64, info = refine64.refine(view, max_iterations=probe_iterations)
+    total_iters = info["iterations"]
     info["device_lm"] = False
     if not info["converged"]:
+        view.poses = poses64  # keep the probe's progress
+        poses64, info = refine64.refine(view, max_iterations=refine_max_iterations)
+        total_iters += info["iterations"]
+        info["device_lm"] = False
+    if not info["converged"]:
+        g = g.replace(poses=g.poses.at[: poses64.shape[0]].set(
+            jnp.asarray(poses64, jnp.float32)))
         g = optimize(g, max_iterations=max_iterations)
         view.poses = np.asarray(
             jax.device_get(g.poses), dtype=np.float64)[: view.poses.shape[0]]
         poses64, info = refine64.refine(view, max_iterations=refine_max_iterations)
+        total_iters += info["iterations"]
         info["device_lm"] = True
+    info["iterations"] = total_iters
     k = poses64.shape[0]
     return (
         g.replace(poses=g.poses.at[:k].set(jnp.asarray(poses64, jnp.float32))),
