@@ -35,9 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lidar_graph_slam_tpu.core import se3
 from lidar_graph_slam_tpu.core.config import CapacityConfig, GraphSlamConfig
-from lidar_graph_slam_tpu.core.pointcloud import PAD_VALUE, PointCloud
+from lidar_graph_slam_tpu.core.pointcloud import PointCloud
 from lidar_graph_slam_tpu.graph import solver
 from lidar_graph_slam_tpu.io.pcd import write_pcd
 from lidar_graph_slam_tpu.ops.neighbors import build_hash_grid
