@@ -47,7 +47,9 @@ from lidar_graph_slam_tpu.registration import ndt as ndt_mod
 
 class GraphBasedSLAM:
     """Host-side back end. Keyframe clouds are kept host-side (numpy) and shipped to the
-    device only for loop verification and map assembly — poses/factors stay on device."""
+    device only for loop verification and map assembly. The pose graph lives twice by
+    design: on device (the f32 descent/mesh solvers) and as host f64 mirrors feeding
+    the refinement tier with zero per-solve fetches (`_host_view`)."""
 
     def __init__(self, cfg: GraphSlamConfig, capacity: CapacityConfig,
                  mesh=None, backend_solver: str = "schur", cloud_store=None):

@@ -10,6 +10,8 @@ and produces the same trajectory as the single-chip path on the 8-virtual-device
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.xdist_group("course90")
+
 from lidar_graph_slam_tpu.core.config import (
     CapacityConfig,
     GraphSlamConfig,
