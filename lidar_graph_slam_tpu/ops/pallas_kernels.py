@@ -46,19 +46,21 @@ def _ndt_accum_kernel(params_ref, e_ref, w_ref, p_ref, wm_ref, out_ref):
     w_ref:  [9, T]  inverse covariances, row-major (c00..c22)
     p_ref:  [3, T]  transformed source points (Jacobian anchor)
     wm_ref: [1, T]  hit mask (1.0 / 0.0)
-    out_ref: [48, 128] — row q holds quantity q's 128 lane-partials; the final
-             cross-lane reduce happens ONCE in XLA after the kernel. Rows 0..35 =
-             H[i, j] row-major (i * 6 + j), 36..41 = g, 42 = sum of weights,
-             43 = hit count, 44..47 padding.
+    out_ref: [1, 48, 128] — this grid step's OWN output block: row q holds quantity
+             q's 128 lane-partials for this tile. The cross-step and cross-lane
+             reduces happen ONCE in XLA after the kernel ([grid, 48, 128] -> [48]).
+             Rows 0..35 = H[i, j] row-major (i * 6 + j), 36..41 = g, 42 = sum of
+             weights, 43 = hit count, 44..47 padding.
 
     WHY this layout (r04 rework): the previous kernel produced 44 SCALARS per grid
     step — 44 full cross-lane reduction trees plus 44 one-hot (8, 128) selects per
     step, which dominated the runtime at ~2% of streaming bandwidth. A [T] operand
     lives as (T/128, 128) native tiles, so reducing over the SUBLANE axis only is a
     handful of in-register adds per quantity; the expensive 128-lane tree is deferred
-    to one [48, 128] -> [48] reduce per CALL instead of 44 trees per STEP.
+    to one reduce per CALL instead of 44 trees per STEP. Each step writes its OWN
+    block (no accumulator read-modify-write): the RMW serialized the grid pipeline,
+    measured 3x the dependent-chain latency of this form.
     """
-    step = pl.program_id(0)
     d2 = params_ref[0]
     w_scale = params_ref[1]
 
@@ -122,15 +124,7 @@ def _ndt_accum_kernel(params_ref, e_ref, w_ref, p_ref, wm_ref, out_ref):
     parts.append(jnp.stack(gs))                                      # g row
     zero = jnp.zeros((_LANES,), jnp.float32)
     parts.append(jnp.stack([lanes(w), lanes(hit), zero, zero, zero, zero]))
-    acc = jnp.concatenate(parts, axis=0)                             # [48, 128]
-
-    @pl.when(step == 0)
-    def _():
-        out_ref[:, :] = acc
-
-    @pl.when(step > 0)
-    def _():
-        out_ref[:, :] = out_ref[:, :] + acc
+    out_ref[0, :, :] = jnp.concatenate(parts, axis=0)                # [48, 128]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -161,7 +155,7 @@ def ndt_accumulate(e, icovs, p, hit, d2, w_scale, interpret: bool = False):
     params = jnp.stack([jnp.asarray(d2, jnp.float32), jnp.asarray(w_scale, jnp.float32)])
     out = pl.pallas_call(
         _ndt_accum_kernel,
-        out_shape=jax.ShapeDtypeStruct((48, _LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((grid, 48, _LANES), jnp.float32),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -170,12 +164,13 @@ def ndt_accumulate(e, icovs, p, hit, d2, w_scale, interpret: bool = False):
             pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((48, _LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 48, _LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
     )(params, eT, wT, pT, hT)
 
-    # One cross-lane reduce for the whole call (the kernel keeps per-lane partials).
-    sums = jnp.sum(out, axis=1)                      # [48]
+    # One cross-step + cross-lane reduce for the whole call.
+    sums = jnp.sum(out, axis=(0, 2))                 # [48]
     H = sums[:36].reshape(6, 6)
     g = sums[36:42]
     return H, g, sums[42], sums[43]
