@@ -574,6 +574,9 @@ def solve_incremental(g: PoseGraph, max_iterations: int = 30,
     from lidar_graph_slam_tpu.graph import refine64
 
     view = refine64.GraphView.from_device_graph(g)
+    if view.poses.shape[0] == 0:
+        return g, {"iterations": 0, "converged": True, "device_lm": False,
+                   "initial_step_norm": 0.0, "final_cost": 0.0}
     # Warm probe: a converged graph (the recurring iSAM2 case) finishes inside
     # `probe_iterations`. Cold graphs CONTINUE in f64 — its GN is quadratic and, at
     # automotive conditioning, strictly more reliable than the f32 device LM (handing

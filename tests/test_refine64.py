@@ -154,3 +154,12 @@ def test_solve_incremental_warm_skips_device():
     # Same optimum both times (f32 storage floor apart).
     np.testing.assert_allclose(
         np.asarray(g2.poses[:K, :3, 3]), np.asarray(g1.poses[:K, :3, 3]), atol=1e-3)
+
+
+def test_solve_incremental_empty_graph():
+    from lidar_graph_slam_tpu.graph import solver
+
+    g = solver.init_graph(64, 4, (1e-6,) * 6)
+    g2, info = solver.solve_incremental(g)
+    assert info["converged"] and info["iterations"] == 0
+    np.testing.assert_array_equal(np.asarray(g2.poses), np.asarray(g.poses))
