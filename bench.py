@@ -257,13 +257,15 @@ def bench_pose_graph():
 # --- end-to-end pipeline ------------------------------------------------------------------
 
 
-def _run_pipeline(scans, enable_loop_closure=True):
+def _run_pipeline(scans, enable_loop_closure=True, pipeline_depth=1):
     from lidar_graph_slam_tpu.core.config import PipelineConfig, apply_cli_overrides
     from lidar_graph_slam_tpu.pipeline.runner import SlamPipeline
 
     cfg = PipelineConfig()
     if not enable_loop_closure:
         cfg = apply_cli_overrides(cfg, ["enable_loop_closure=False"])
+    if pipeline_depth != 1:
+        cfg = apply_cli_overrides(cfg, [f"pipeline_depth={pipeline_depth}"])
     pipe = SlamPipeline(cfg)
     pipe.process_scan(scans[0])
     frame_walls = []
@@ -362,8 +364,14 @@ def bench_e2e_dense(n_frames=40):
     mean_pts = float(np.mean([s.shape[0] for s in scans]))
     _, _, frame_walls, _ = _run_pipeline(scans, enable_loop_closure=False)
     med = float(np.median(frame_walls))
+    # pipeline_depth=2 keeps one more frame in flight — it hides one extra tunnel
+    # round trip per frame at the cost of the submap ring lagging 2 frames (+17%%
+    # odometry ATE on the CPU quality check). Reported as the throughput-tuned
+    # operating point; the accuracy-first default stays depth 1.
+    _, _, walls2, _ = _run_pipeline(scans, enable_loop_closure=False, pipeline_depth=2)
     return {
         "steady_fps": round(1.0 / max(med, 1e-9), 2),
+        "steady_fps_depth2": round(1.0 / max(float(np.median(walls2)), 1e-9), 2),
         "mean_raw_points": int(mean_pts),
     }
 
