@@ -139,12 +139,16 @@ def ndt_accumulate(e, icovs, p, hit, d2, w_scale, interpret: bool = False):
     """
     K = e.shape[0]
     # tile = 4096 measured fastest on v5e (larger tiles regressed ~2x — VMEM pressure
-    # beats the saved per-step reduction overhead); smaller dividing tiles are the
-    # fallback for odd correspondence counts.
-    for tile in (4096, 2048, 1024, 512, 256, _LANES):
+    # beats the saved per-step reduction overhead). Tiles below 1024 would give the
+    # kernel's [tile] -> [tile/128, 128] sublane reduction fewer than 8 sublanes,
+    # which Mosaic rejects ("unsupported shape cast"); correspondence counts with no
+    # dividing tile >= 1024 take the identical-math XLA path instead (tiny problems —
+    # the fused kernel exists for the ~100k-row production shapes).
+    for tile in (4096, 2048, 1024):
         if K % tile == 0:
             break
-    assert K % tile == 0, f"correspondence count {K} must be lane-aligned"
+    else:
+        return ndt_accumulate_xla(e, icovs, p, hit, d2, w_scale)
     grid = K // tile
 
     eT = e.T.astype(jnp.float32)                       # [3, K]
