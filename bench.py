@@ -207,11 +207,49 @@ def _build_bench_graph(K, L, rng):
     return g
 
 
+def bench_device_f64_probe():
+    """Can the TPU compile an f64 linear solve at all? Probed in a SUBPROCESS (the
+    x64 flag is process-global and must not contaminate the bench). Settles VERDICT
+    r04 item 1's device-vs-host question with direct evidence: on this stack f64
+    elementwise/matmul compile but f64 linalg (LU/triangular solve) does NOT
+    (remote_compile HTTP 500, tpu_compile_helper exit 1) — so a device-resident f64
+    pose-graph solve is not buildable, and the host f64 tier is the only
+    GTSAM-precision option (`graph_based_slam.hpp:38-46` runs f64 throughout)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_enable_x64', True)\n"
+        "import jax.numpy as jnp\n"
+        "try:\n"
+        "    r = jax.jit(lambda a: jnp.linalg.solve(a, a))(jnp.eye(6, dtype=jnp.float64) * 2)\n"
+        "    jax.device_get(r)\n"
+        "    print('OK')\n"
+        "except Exception as e:\n"
+        "    print('FAIL', type(e).__name__)\n"
+    )
+    try:
+        out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                             text=True, timeout=600).stdout.strip()
+    except Exception as e:  # noqa: BLE001
+        out = f"FAIL probe {type(e).__name__}"
+    return {
+        "f64_linalg_solve_compiles": out.startswith("OK"),
+        "probe_result": out.splitlines()[-1] if out else "no output",
+    }
+
+
 def bench_pose_graph():
-    """Wall time of the engine's public solve (`solver.solve_incremental`) cold/warm."""
+    """Wall time of the engine's public solve (`solver.solve_incremental`) cold/warm.
+
+    `warm_ms` includes one device fetch (the public API pulls the graph off-device);
+    `warm_host_ms` is the engine's production path — `GraphBasedSLAM._run_optimize`
+    solves from host factor mirrors with ZERO device reads, so its warm re-solve is
+    pure host f64 (one separator-direct iteration)."""
     import jax
 
-    from lidar_graph_slam_tpu.graph import solver
+    from lidar_graph_slam_tpu.graph import refine64, solver
 
     out = {}
     for K in (1024, 4096):
@@ -226,10 +264,17 @@ def bench_pose_graph():
             t0 = time.perf_counter()
             g_solved, info_warm = solver.solve_incremental(g_solved)
             warm_ms = (time.perf_counter() - t0) * 1e3
+            # Engine-path warm solve: host mirrors, no fetch (what a loop closure
+            # actually pays inside the pipeline).
+            view = refine64.GraphView.from_device_graph(g_solved)
+            t0 = time.perf_counter()
+            _, info_host = solver.escalate_f64(view, device_lm=lambda p: p)
+            warm_host_ms = (time.perf_counter() - t0) * 1e3
 
             rec = {
                 "cold_ms": round(cold_ms, 2),
                 "warm_ms": round(warm_ms, 2),
+                "warm_host_ms": round(warm_host_ms, 2),
                 "cold_iters_f64": info_cold["iterations"],
                 "warm_iters_f64": info_warm["iterations"],
                 "device_lm_used_cold": bool(info_cold["device_lm"]),
@@ -479,6 +524,10 @@ def _retry(stage_fn, label):
 def main():
     from lidar_graph_slam_tpu.utils.jit_cache import enable_compilation_cache
 
+    # f64 probe FIRST, before this process opens its own TPU session — two live TPU
+    # processes starve each other on the tunneled backend (verify skill).
+    device_f64 = _retry(bench_device_f64_probe, "device_f64")
+
     enable_compilation_cache()
 
     fo = _measure_fetch_overhead()
@@ -488,6 +537,7 @@ def main():
         "scan_match_ab": _retry(lambda: bench_scan_match_ab(fetch_overhead=fo),
                                 "scan_match_ab"),
         "pose_graph_solve_ms": _retry(bench_pose_graph, "pose_graph"),
+        "device_f64": device_f64,
         "e2e_pipeline": _retry(bench_e2e, "e2e"),
         "e2e_dense": _retry(bench_e2e_dense, "e2e_dense"),
         "ndt_accumulate_roofline": _retry(bench_roofline, "roofline"),

@@ -63,12 +63,61 @@ def so3_exp(w: np.ndarray) -> np.ndarray:
     return np.eye(3) + A[..., None, None] * W + B[..., None, None] * W2
 
 
-def so3_log(R: np.ndarray) -> np.ndarray:
-    """Rotation matrices -> axis-angle via scipy (robust at all angles)."""
-    from scipy.spatial.transform import Rotation
+def _quat_from_matrix(R: np.ndarray) -> np.ndarray:
+    """Rotation matrices [..., 3, 3] -> unit quaternions [..., 4] (w, x, y, z), w >= 0.
 
-    shape = R.shape[:-2]
-    return Rotation.from_matrix(R.reshape(-1, 3, 3)).as_rotvec().reshape(shape + (3,))
+    Vectorized Shepperd construction: build the quaternion from whichever of
+    {w^2, x^2, y^2, z^2} is largest, so the divisor is always >= 1/2 — robust at every
+    angle including pi (where the w-only construction loses all digits). Pure numpy:
+    scipy used to provide this and was the default solve path's only runtime dependency
+    (ADVICE r04) — this keeps the f64 tier dependency-free."""
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    # 4q_i^2 candidates (clamped: orthonormal drift can push them epsilon-negative).
+    tw = np.maximum(1.0 + m00 + m11 + m22, 0.0)
+    tx = np.maximum(1.0 + m00 - m11 - m22, 0.0)
+    ty = np.maximum(1.0 - m00 + m11 - m22, 0.0)
+    tz = np.maximum(1.0 - m00 - m11 + m22, 0.0)
+    qs = np.empty(R.shape[:-2] + (4, 4), np.float64)
+    sw = np.sqrt(tw + _EPS * _EPS)
+    qs[..., 0, 0] = sw
+    qs[..., 0, 1] = (m21 - m12) / sw
+    qs[..., 0, 2] = (m02 - m20) / sw
+    qs[..., 0, 3] = (m10 - m01) / sw
+    sx = np.sqrt(tx + _EPS * _EPS)
+    qs[..., 1, 0] = (m21 - m12) / sx
+    qs[..., 1, 1] = sx
+    qs[..., 1, 2] = (m01 + m10) / sx
+    qs[..., 1, 3] = (m02 + m20) / sx
+    sy = np.sqrt(ty + _EPS * _EPS)
+    qs[..., 2, 0] = (m02 - m20) / sy
+    qs[..., 2, 1] = (m01 + m10) / sy
+    qs[..., 2, 2] = sy
+    qs[..., 2, 3] = (m12 + m21) / sy
+    sz = np.sqrt(tz + _EPS * _EPS)
+    qs[..., 3, 0] = (m10 - m01) / sz
+    qs[..., 3, 1] = (m02 + m20) / sz
+    qs[..., 3, 2] = (m12 + m21) / sz
+    qs[..., 3, 3] = sz
+    pick = np.argmax(np.stack([tw, tx, ty, tz], axis=-1), axis=-1)
+    q = np.take_along_axis(qs, pick[..., None, None].repeat(4, -1), axis=-2)[..., 0, :]
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    return np.where(q[..., :1] < 0.0, -q, q)
+
+
+def so3_log(R: np.ndarray) -> np.ndarray:
+    """Rotation matrices -> axis-angle (rotvec), robust at all angles, numpy-only."""
+    q = _quat_from_matrix(R)
+    w, v = q[..., 0], q[..., 1:]
+    s = np.linalg.norm(v, axis=-1)
+    angle = 2.0 * np.arctan2(s, w)
+    # rotvec = v * angle / s; as s -> 0 the ratio -> 2/w (w -> 1). Series keeps f64
+    # accuracy through the switch: angle/s = (2/w) * (1 - s^2/(3 w^2) + ...).
+    small = s < 1e-8
+    safe_s = np.where(small, 1.0, s)
+    scale = np.where(small, 2.0 / np.maximum(w, _EPS), angle / safe_s)
+    return v * scale[..., None]
 
 
 def _left_jacobian(w: np.ndarray) -> np.ndarray:
@@ -164,7 +213,7 @@ class GraphView:
     counts). Factors and orderings match `graph/solver.py:PoseGraph`."""
 
     def __init__(self, poses, odom_meas, prior_pose, odom_info,
-                 loop_i, loop_j, loop_meas, loop_info):
+                 loop_i, loop_j, loop_meas, loop_info, huber_delta: float = 0.0):
         self.poses = np.asarray(poses, np.float64)            # [K, 4, 4]
         self.odom_meas = np.asarray(odom_meas, np.float64)    # [K, 4, 4] (row 0 unused)
         self.prior_pose = np.asarray(prior_pose, np.float64)  # [4, 4]
@@ -173,9 +222,13 @@ class GraphView:
         self.loop_j = np.asarray(loop_j, np.int64)
         self.loop_meas = np.asarray(loop_meas, np.float64)    # [L, 4, 4]
         self.loop_info = np.asarray(loop_info, np.float64)    # [L, 6]
+        # Huber threshold on the whitened loop residual norm (IRLS); 0 = quadratic
+        # (exact reference parity — its loop noise is naive fitness*I6,
+        # `graph_based_slam.cpp:335-341`, with no robustness at all).
+        self.huber_delta = float(huber_delta)
 
     @classmethod
-    def from_device_graph(cls, g) -> "GraphView":
+    def from_device_graph(cls, g, huber_delta: float = 0.0) -> "GraphView":
         """One batched fetch of a `solver.PoseGraph`'s ACTIVE slice."""
         import jax
 
@@ -187,7 +240,22 @@ class GraphView:
         keep = np.asarray(lmask[: int(nl)])
         return cls(poses[:K], odom[:K], prior, info,
                    np.asarray(li[: int(nl)])[keep], np.asarray(lj[: int(nl)])[keep],
-                   np.asarray(lm[: int(nl)])[keep], np.asarray(linfo[: int(nl)])[keep])
+                   np.asarray(lm[: int(nl)])[keep], np.asarray(linfo[: int(nl)])[keep],
+                   huber_delta=huber_delta)
+
+    def _loop_weights(self, poses: np.ndarray) -> np.ndarray:
+        """Per-loop-factor Huber IRLS weights at the given poses: w = 1 inside the
+        delta ball, delta/s outside (s = whitened residual norm). A wrong-but-
+        fitness-passing factor has s >> delta, so its effective information collapses
+        ~1/s and it cannot drag the trajectory; a genuine factor recovers w -> 1 as
+        the solve closes its residual."""
+        L = self.loop_i.size
+        if not L or self.huber_delta <= 0.0:
+            return np.ones((L,), np.float64)
+        rl = se3_log(inverse(self.loop_meas)
+                     @ inverse(poses[self.loop_i]) @ poses[self.loop_j])
+        s = np.sqrt(np.maximum(np.sum(rl * self.loop_info * rl, axis=-1), 1e-300))
+        return np.where(s <= self.huber_delta, 1.0, self.huber_delta / s)
 
 
 def cost(view: GraphView, poses: np.ndarray) -> float:
@@ -399,13 +467,30 @@ def _tridiag_solve64(D: np.ndarray, U: np.ndarray, B: np.ndarray, seg: int = 64)
 
 
 def _solve_chain_plus_loops(D, U, b_chain, b_loop, V: SparseV):
-    """delta = H^-1 b with H = T + V V^T: substructured block-tridiagonal solve of the
-    chain system T for all 1+6L right-hand sides at once, then the Woodbury correction
-    for the loop factors (same identity as the device solver). All V products use the
-    block-sparse form — O(L) small matmuls, never a [6K, 6L] GEMM."""
+    """delta = H^-1 b with H = T + V V^T (T block-tridiagonal chain, V the loop
+    factors). Two exact direct strategies:
+
+      * K >= 192: SEPARATOR-DIRECT domain decomposition (`_solve_separator_direct`) —
+        loop endpoints become separators, so loop Hessian blocks land directly in a
+        small dense separator system and the Woodbury 6L-RHS bundle disappears.
+        Profiled at K=4096/L=64: the Woodbury bundle's 385-RHS tridiagonal solve was
+        618 ms of the 912 ms warm iteration; the separator solve does the same work
+        as a 13-RHS batched elimination + one ~1000^2 dense Cholesky-class solve.
+      * small K: the Woodbury identity over the substructured tridiagonal solve
+        (cheap enough; avoids separator bookkeeping on tiny systems).
+    """
     b = (b_chain + b_loop)[..., None]
     if V.L == 0:
         return _tridiag_solve64(D, U, b)[..., 0]
+    K = D.shape[0]
+    if K >= 192:
+        Bi = V.blocks[: V.L]                       # Ji^T sqrt(Lambda)
+        Bj = V.blocks[V.L:]
+        Hii = Bi @ np.swapaxes(Bi, -1, -2)
+        Hij = Bi @ np.swapaxes(Bj, -1, -2)
+        Hjj = Bj @ np.swapaxes(Bj, -1, -2)
+        return _solve_separator_direct(
+            D, U, b[..., 0], V.rows[: V.L], V.rows[V.L:], Hii, Hij, Hjj)
     # The whole bundle stays f64: the chain system's condition reaches ~1e8 (info 1e8
     # over a long chain), so an f32 T-solve has NO correct digits (tried: the refined
     # step exploded to 1e4). Everything here is O(K) host BLAS; f64 is the point.
@@ -416,6 +501,151 @@ def _solve_chain_plus_loops(D, U, b_chain, b_loop, V: SparseV):
     small = np.eye(6 * V.L) + V.t_apply(Tinv_V)
     z = np.linalg.solve(small, V.t_apply(Tinv_b)[:, 0])
     return Tinv_b[..., 0] - Tinv_V @ z
+
+
+def _solve_separator_direct(D, U, b, loop_i, loop_j, Hii, Hij, Hjj,
+                            max_run: int = 256):
+    """Exact direct solve of (T + H_loops) x = b by domain decomposition with the loop
+    ENDPOINT rows as separators.
+
+    Every loop factor's Hessian blocks (Hii at (i,i), Hij at (i,j), Hjj at (j,j)) touch
+    only separator rows, so they add straight into the dense separator system — no
+    Woodbury rank-6L bundle. Interior runs (the chain segments between separators) are
+    eliminated by ONE batched forward/backward sweep over a [n_runs, max_len] padded
+    layout (13 columns: rhs + left/right separator couplings), condensing onto an
+    [Ns*6]^2 dense system (Ns ~ 2L + K/max_run — ~1000^2 at production scale, trivial
+    for LAPACK). Forced splits cap the padded run length at `max_run` so the
+    sequential sweep depth stays bounded when L is small.
+
+    This is the single-host f64 mirror of the mesh Schur decomposition
+    (`parallel/schur.py`) with data-dependent separator placement."""
+    K = D.shape[0]
+    dt = D.dtype
+
+    sep = np.unique(np.concatenate([np.asarray(loop_i), np.asarray(loop_j)]))
+    # Forced splits: cap interior run length (bounds the sequential sweep depth).
+    bounds = np.concatenate([[-1], sep, [K]])
+    extra = []
+    for a, e in zip(bounds[:-1], bounds[1:]):
+        gap = int(e - a - 1)
+        if gap > max_run:
+            n_splits = (gap + max_run - 1) // max_run - 1
+            for t in range(1, n_splits + 1):
+                extra.append(int(a + t * (gap + 1) // (n_splits + 1)))
+    if extra:
+        sep = np.unique(np.concatenate([sep, np.asarray(extra, np.int64)]))
+    Ns = sep.size
+
+    # Runs r = 0..Ns: rows (sep[r-1]+1 .. sep[r]-1), with virtual bounds -1 and K.
+    lo = np.concatenate([[0], sep + 1])
+    hi = np.concatenate([sep - 1, [K - 1]])
+    lens = hi - lo + 1
+    live = np.nonzero(lens > 0)[0]
+    R = live.size
+    Lmax = int(lens[live].max()) if R else 0
+
+    Hd = np.zeros((Ns, Ns, 6, 6), dt)
+    idx = np.arange(Ns)
+    Hd[idx, idx] = D[sep]
+    bs = b[sep].copy()
+    # Adjacent separators (empty run between): direct chain coupling U[sep[p]].
+    adj = np.nonzero(sep[1:] == sep[:-1] + 1)[0]
+    Hd[adj, adj + 1] += U[sep[adj]]
+    Hd[adj + 1, adj] += np.swapaxes(U[sep[adj]], -1, -2)
+
+    x_int_store = None
+    if R:
+        # Padded gather of the live runs (identity-D / zero-U decouples the padding).
+        D_p = np.tile(np.eye(6, dtype=dt), (R, Lmax, 1, 1))
+        U_p = np.zeros((R, Lmax, 6, 6), dt)     # U_p[:, k] couples local k -> k+1
+        rhs = np.zeros((R, Lmax, 6, 13), dt)
+        has_L = lo[live] > 0
+        has_R = hi[live] < K - 1
+        for ridx, r in enumerate(live):
+            a, e = int(lo[r]), int(hi[r])
+            n = e - a + 1
+            D_p[ridx, :n] = D[a:e + 1]
+            if n > 1:
+                U_p[ridx, :n - 1] = U[a:e]
+            rhs[ridx, :n, :, 0] = b[a:e + 1]
+            if has_L[ridx]:
+                rhs[ridx, 0, :, 1:7] = U[a - 1].T
+            if has_R[ridx]:
+                rhs[ridx, n - 1, :, 7:13] = U[e]
+        # Step-major batched Thomas sweep (layout note in `_tridiag_solve64`).
+        D_s = np.ascontiguousarray(D_p.swapaxes(0, 1))
+        U_s = np.ascontiguousarray(U_p.swapaxes(0, 1))
+        r_s = np.ascontiguousarray(rhs.swapaxes(0, 1))
+        Sf = np.empty((Lmax, R, 6, 6), dt)
+        Yf = np.empty((Lmax, R, 6, 13), dt)
+        Gf = np.empty((max(Lmax - 1, 0), R, 6, 6), dt)
+        Sf[0], Yf[0] = D_s[0], r_s[0]
+        for k in range(1, Lmax):
+            Gk = np.linalg.solve(Sf[k - 1], U_s[k - 1])
+            Gf[k - 1] = Gk
+            t_s = np.swapaxes(U_s[k - 1], -1, -2) @ Gk
+            Sf[k] = D_s[k] - t_s
+            t_y = np.matmul(np.swapaxes(Gk, -1, -2), Yf[k - 1])
+            np.subtract(r_s[k], t_y, out=t_y)
+            Yf[k] = t_y
+        X = np.empty((Lmax, R, 6, 13), dt)
+        X[Lmax - 1] = np.linalg.solve(Sf[Lmax - 1], Yf[Lmax - 1])
+        for k in range(Lmax - 2, -1, -1):
+            t_v = np.linalg.solve(Sf[k], Yf[k])
+            t_g = np.matmul(Gf[k], X[k + 1])
+            np.subtract(t_v, t_g, out=t_v)
+            X[k] = t_v
+        X = X.swapaxes(0, 1)                             # [R, Lmax, 6, 13]
+        y = X[..., 0]                                    # [R, Lmax, 6]
+        XL = X[..., 1:7]
+        XR = X[..., 7:13]
+        last = lens[live] - 1
+        y_last = y[np.arange(R), last]                   # [R, 6]
+        XL_last = XL[np.arange(R), last]
+        XR_last = XR[np.arange(R), last]
+
+        # Schur contributions onto the separator system.
+        for ridx, r in enumerate(live):
+            pL, pR = r - 1, r                             # separator indices
+            if has_L[ridx]:
+                UL = U[int(lo[r]) - 1]
+                Hd[pL, pL] -= UL @ XL[ridx, 0]
+                bs[pL] -= UL @ y[ridx, 0]
+            if has_R[ridx]:
+                UR_T = U[int(hi[r])].T
+                Hd[pR, pR] -= UR_T @ XR_last[ridx]
+                bs[pR] -= UR_T @ y_last[ridx]
+            if has_L[ridx] and has_R[ridx]:
+                cross = U[int(lo[r]) - 1] @ XR[ridx, 0]
+                Hd[pL, pR] -= cross
+                Hd[pR, pL] -= cross.T
+        x_int_store = (y, XL, XR, has_L, has_R)
+
+    # Loop Hessian blocks land directly on separator rows.
+    pi = np.searchsorted(sep, np.asarray(loop_i))
+    pj = np.searchsorted(sep, np.asarray(loop_j))
+    np.add.at(Hd, (pi, pi), Hii)
+    np.add.at(Hd, (pj, pj), Hjj)
+    np.add.at(Hd, (pi, pj), Hij)
+    np.add.at(Hd, (pj, pi), np.swapaxes(Hij, -1, -2))
+
+    M = Hd.transpose(0, 2, 1, 3).reshape(6 * Ns, 6 * Ns)
+    x_sep = np.linalg.solve(M, bs.reshape(-1)).reshape(Ns, 6)
+
+    delta = np.empty((K, 6), dt)
+    delta[sep] = x_sep
+    if R:
+        y, XL, XR, has_L, has_R = x_int_store
+        xL_vec = np.zeros((R, 6), dt)
+        xR_vec = np.zeros((R, 6), dt)
+        xL_vec[has_L] = x_sep[live[has_L] - 1]
+        xR_vec[has_R] = x_sep[live[has_R]]
+        x_runs = y - (XL @ xL_vec[:, None, :, None])[..., 0] \
+                   - (XR @ xR_vec[:, None, :, None])[..., 0]
+        for ridx, r in enumerate(live):
+            a, e = int(lo[r]), int(hi[r])
+            delta[a:e + 1] = x_runs[ridx, : e - a + 1]
+    return delta
 
 
 def refine(view: GraphView, max_iterations: int = 8, damping: float = 1e-9,

@@ -287,6 +287,19 @@ def _tridiag_solve(D: jax.Array, U: jax.Array, B: jax.Array) -> jax.Array:
         U_full = jnp.concatenate([U, jnp.zeros((1, 6, 6), D.dtype)], axis=0)
         return _tridiag_solve_cr(D, U_full, B)
     if K >= 2048:
+        seg = 64
+        if K % seg:
+            # Pad to a seg multiple with decoupled identity blocks (zero coupling, zero
+            # rhs) — same trick as the f64 port `refine64._tridiag_solve64`. The engine's
+            # internal buckets are powers of two, but the public optimize() accepts any
+            # user capacity (e.g. max_keyframes=3000).
+            pad = seg - K % seg
+            eye = jnp.broadcast_to(jnp.eye(6, dtype=D.dtype), (pad, 6, 6))
+            D = jnp.concatenate([D, eye], axis=0)
+            U = jnp.concatenate([U, jnp.zeros((pad, 6, 6), D.dtype)], axis=0)
+            B = jnp.concatenate(
+                [B, jnp.zeros((pad,) + B.shape[1:], B.dtype)], axis=0)
+            return _tridiag_solve_blocked(D, U, B)[:K]
         return _tridiag_solve_blocked(D, U, B)
     return _tridiag_solve_scan(D, U, B)
 
@@ -558,30 +571,28 @@ def optimize(
     return g.replace(poses=poses)
 
 
-def solve_incremental(g: PoseGraph, max_iterations: int = 30,
-                      probe_iterations: int = 2, refine_max_iterations: int = 12):
-    """Hybrid f64-host + f32-device pose-graph solve — the engine's public solve entry
-    (what `GraphBasedSLAM._run_optimize` runs; bench.py measures this).
+def escalate_f64(view, device_lm, probe_iterations: int = 2,
+                 refine_max_iterations: int = 12, tail_iterations: int = 6):
+    """The engine's solve escalation ladder, shared by `solve_incremental` and
+    `GraphBasedSLAM._run_optimize` (one copy — ADVICE r04: the two hand-rolled ladders
+    could silently drift).
 
-    Phase 1 is host f64 Gauss-Newton (`graph/refine64.py`): a WARM graph (already at
-    its optimum — the per-keyframe iSAM2 case, `graph_based_slam.cpp:373-374`) detects
-    convergence from its first f64 step and returns after ONE O(K) host iteration.
-    Cold graphs usually also converge here (f64 GN is quadratic on near-linear pose
-    graphs); only a non-converged budget escalates to the jitted f32 device LM
-    (`optimize`) with an f64 tail. Returns (solved PoseGraph, info dict)."""
-    import numpy as np
+      1. Warm probe: `probe_iterations` of host f64 GN. A WARM graph (already at its
+         optimum — the per-keyframe iSAM2 case, `graph_based_slam.cpp:373-374`)
+         detects convergence from its first f64 step and returns after ONE O(K) host
+         iteration.
+      2. Cold continuation: more f64 GN — quadratic and, at automotive conditioning,
+         strictly more reliable than the f32 device LM (handing a midway state to the
+         f32 LM was measured to kick K=4096/L=64 into a bad basin it never left).
+      3. Device-LM fallback ONLY if f64 itself stalls: `device_lm(poses64)` must run
+         the jitted f32 descent (single-chip or mesh-distributed — the caller picks)
+         and return f64 poses; an f64 tail then finishes to the true optimum.
 
+    `view` is a `refine64.GraphView`; its `.poses` is mutated to thread progress.
+    Returns (poses64, info) with info["device_lm"] and cumulative info["iterations"].
+    """
     from lidar_graph_slam_tpu.graph import refine64
 
-    view = refine64.GraphView.from_device_graph(g)
-    if view.poses.shape[0] == 0:
-        return g, {"iterations": 0, "converged": True, "device_lm": False,
-                   "initial_step_norm": 0.0, "final_cost": 0.0}
-    # Warm probe: a converged graph (the recurring iSAM2 case) finishes inside
-    # `probe_iterations`. Cold graphs CONTINUE in f64 — its GN is quadratic and, at
-    # automotive conditioning, strictly more reliable than the f32 device LM (handing
-    # a midway state to the f32 LM was measured to kick K=4096/L=64 into a bad basin
-    # it never left). The device LM is the fallback ONLY when f64 itself stalls.
     poses64, info = refine64.refine(view, max_iterations=probe_iterations)
     total_iters = info["iterations"]
     info["device_lm"] = False
@@ -591,15 +602,41 @@ def solve_incremental(g: PoseGraph, max_iterations: int = 30,
         total_iters += info["iterations"]
         info["device_lm"] = False
     if not info["converged"]:
-        g = g.replace(poses=g.poses.at[: poses64.shape[0]].set(
-            jnp.asarray(poses64, jnp.float32)))
-        g = optimize(g, max_iterations=max_iterations)
-        view.poses = np.asarray(
-            jax.device_get(g.poses), dtype=np.float64)[: view.poses.shape[0]]
-        poses64, info = refine64.refine(view, max_iterations=refine_max_iterations)
+        view.poses = device_lm(poses64)
+        poses64, info = refine64.refine(view, max_iterations=tail_iterations)
         total_iters += info["iterations"]
         info["device_lm"] = True
     info["iterations"] = total_iters
+    return poses64, info
+
+
+def solve_incremental(g: PoseGraph, max_iterations: int = 30,
+                      probe_iterations: int = 2, refine_max_iterations: int = 12):
+    """Hybrid f64-host + f32-device pose-graph solve — the engine's public solve entry
+    (what `GraphBasedSLAM._run_optimize` runs; bench.py measures this).
+
+    Runs the shared `escalate_f64` ladder with the single-chip jitted LM as the device
+    fallback. Returns (solved PoseGraph, info dict)."""
+    import numpy as np
+
+    from lidar_graph_slam_tpu.graph import refine64
+
+    view = refine64.GraphView.from_device_graph(g)
+    if view.poses.shape[0] == 0:
+        return g, {"iterations": 0, "converged": True, "device_lm": False,
+                   "initial_step_norm": 0.0, "final_cost": 0.0}
+
+    def device_lm(poses64):
+        gd = g.replace(poses=g.poses.at[: poses64.shape[0]].set(
+            jnp.asarray(poses64, jnp.float32)))
+        gd = optimize(gd, max_iterations=max_iterations)
+        return np.asarray(
+            jax.device_get(gd.poses), dtype=np.float64)[: poses64.shape[0]]
+
+    poses64, info = escalate_f64(
+        view, device_lm, probe_iterations=probe_iterations,
+        refine_max_iterations=refine_max_iterations,
+        tail_iterations=refine_max_iterations)
     k = poses64.shape[0]
     return (
         g.replace(poses=g.poses.at[:k].set(jnp.asarray(poses64, jnp.float32))),

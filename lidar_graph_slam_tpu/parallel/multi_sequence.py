@@ -211,7 +211,11 @@ def batch_slam(scans, masks, cfg: ScanMatcherConfig, graph_cfg=None, capacity=No
             if since_attempt >= loop_every_keyframes:
                 since_attempt = 0
                 back.try_close_loop()
-        back.try_close_loop()  # final attempt once the full sequence is in
+        if since_attempt:  # final attempt once the full sequence is in — but only when
+            # it would differ from the one just performed (since_attempt == 0 means the
+            # last insert already attempted this exact (latest, candidate) pair; a rerun
+            # would double-insert the factor and double-weight the constraint)
+            back.try_close_loop()
         results.append({
             "odometry_poses": np.asarray(outs["pose"][b]),
             "keyframe_poses": back.optimized_poses(),

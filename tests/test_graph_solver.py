@@ -170,3 +170,24 @@ def test_blocked_tridiag_matches_scan(rng):
     x_scan = solver._tridiag_solve_scan(jnp.asarray(D), jnp.asarray(U), jnp.asarray(B))
     np.testing.assert_allclose(
         np.asarray(x_blk), np.asarray(x_scan), rtol=2e-4, atol=2e-4)
+
+
+def test_tridiag_dispatch_non_multiple_of_64(rng):
+    """K >= 2048 that is NOT a multiple of 64 (user-set capacity, e.g. 3000) must pad
+    into the blocked solve rather than assert at trace time (ADVICE r04)."""
+    K, M = 2050, 5
+    D = rng.normal(size=(K, 6, 6)).astype(np.float32)
+    D = np.einsum("kij,klj->kil", D, D) + 8 * np.eye(6, dtype=np.float32)
+    U = (0.1 * rng.normal(size=(K - 1, 6, 6))).astype(np.float32)
+    B = rng.normal(size=(K, 6, M)).astype(np.float32)
+    x = solver._tridiag_solve(jnp.asarray(D), jnp.asarray(U), jnp.asarray(B))
+    x_scan = solver._tridiag_solve_scan(jnp.asarray(D), jnp.asarray(U), jnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_scan), rtol=2e-4, atol=2e-4)
+
+
+def test_optimize_non_power_of_two_capacity(rng):
+    """optimize() on a 2080-capacity graph (>= 2048, % 64 != 0) traces and solves."""
+    poses = random_walk(rng, 6)
+    g = chain_graph(poses, K=2080)
+    out = solver.optimize(g, max_iterations=3)
+    assert np.all(np.isfinite(np.asarray(out.poses)))

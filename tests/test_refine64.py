@@ -163,3 +163,25 @@ def test_solve_incremental_empty_graph():
     g2, info = solver.solve_incremental(g)
     assert info["converged"] and info["iterations"] == 0
     np.testing.assert_array_equal(np.asarray(g2.poses), np.asarray(g.poses))
+
+
+def test_so3_log_matches_scipy_all_angles():
+    """The numpy-only quaternion-route so3_log (scipy dependency removed, ADVICE r04)
+    must match scipy's rotvec at every angle regime, including near pi."""
+    pytest.importorskip("scipy")
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(7)
+    def unit(v):
+        return v / np.linalg.norm(v)
+
+    vecs = [unit(rng.normal(size=3)) * s for s in (1e-9, 1e-5, 0.1, 1.0, 2.0, 3.0)]
+    vecs += [np.array([np.pi - 1e-7, 0, 0]), np.array([0, 0, np.pi - 1e-10])]
+    for v in vecs:
+        R = Rotation.from_rotvec(v).as_matrix()
+        got = refine64.so3_log(R[None])[0]
+        np.testing.assert_allclose(got, v, atol=1e-9)
+    # Batched round-trip through our own exp (norms < pi — beyond that log wraps).
+    W = rng.normal(size=(64, 3))
+    W = W / np.linalg.norm(W, axis=-1, keepdims=True) * rng.uniform(0.0, 3.1, (64, 1))
+    np.testing.assert_allclose(refine64.so3_log(refine64.so3_exp(W)), W, atol=1e-9)
