@@ -192,6 +192,17 @@ class GraphSlamConfig:
     # an identity guess at `graph_based_slam.cpp:318`, capped by the verifier's basin).
     use_global_init: bool = False
     global_reg: GlobalRegConfig = field(default_factory=GlobalRegConfig)
+    # Concurrent back end (default on): loop verification is DISPATCHED at the cadence
+    # tick and consumed `loop_verify_lag_frames` frames later (the device->host copy
+    # rides copy_to_host_async meanwhile); the pose-graph solve runs in a worker thread
+    # between frame dispatches. This is the reference's separate-process back end
+    # (`graph_based_slam.cpp:71-74`, process registration `:503-504`) without its
+    # two-mutex race: the thread only reads an immutable snapshot, and corrections are
+    # applied between frames (deferred `adjust_pose` semantics, `:399-402`). False
+    # restores the synchronous in-frame-loop behavior (exact per-frame determinism,
+    # finer timing attribution).
+    async_backend: bool = True
+    loop_verify_lag_frames: int = 2
     # Candidates verified per loop attempt. The reference verifies only the nearest
     # (`graph_based_slam.cpp:264-280`); k > 1 verifies the k nearest gated candidates
     # (non-overlapping submaps) in ONE batched device dispatch and adds a factor for

@@ -111,6 +111,13 @@ class GraphBasedSLAM:
         self.n_loops = 0
         self._frames_since_loop_check = 0
         self.is_loop_closed = False
+        # Concurrent back end: one dispatched-but-unconsumed verification and at most
+        # one solve thread in flight (the reference's separate back-end process,
+        # without its two-mutex race — SURVEY.md §5.2).
+        self._pending_verify = None
+        self._solve_thread = None
+        self._solve_result = None
+        self._solve_epoch = 0
         # Capacity-overflow flags, surfaced like `VoxelGrid.overflow`: inserts past the
         # fixed device capacities are refused (never silently overwritten) and flagged.
         self.keyframe_overflow = False
@@ -338,10 +345,29 @@ class GraphBasedSLAM:
         return jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, None, None, None)))
 
     def try_close_loop(self) -> bool:
-        """One loop-closure attempt for the latest keyframe: verify the top-k gated
-        candidates in one batched dispatch, add a factor per accepted candidate, then
-        re-optimize once. Returns True if any factor was added. k=1 (default) is the
-        reference's single-candidate behavior (`graph_based_slam.cpp:264-280`)."""
+        """One SYNCHRONOUS loop-closure attempt for the latest keyframe: verify the
+        top-k gated candidates in one batched dispatch, add a factor per accepted
+        candidate, then re-optimize once. Returns True if any factor was added. k=1
+        (default) is the reference's single-candidate behavior
+        (`graph_based_slam.cpp:264-280`). The pipeline's default cadence path is the
+        ASYNC split (`begin_loop_attempt`/`poll_async`) — same stages, overlapped with
+        front-end frames."""
+        pending = self.begin_loop_attempt()
+        if pending is None:
+            return False
+        if not self._consume_verify(pending):
+            return False
+        self._run_optimize()  # the reference's deferred `adjust_pose`
+        # (`graph_based_slam.cpp:417-432`) collapses into the solve's write-back
+        self.is_loop_closed = True
+        return True
+
+    def begin_loop_attempt(self):
+        """Detect + DISPATCH verification for the latest keyframe; returns an opaque
+        pending record (or None if gated/busy). Device->host copies of the verdicts
+        start immediately (`copy_to_host_async`), so consuming the record a few frames
+        later costs ~nothing — the async analog of the reference's separate-process
+        back end (`graph_based_slam.cpp:71-74`, registration `:503-504`)."""
         if self.n_loops >= self.capacity.max_loop_factors:
             # Refuse at capacity and surface it (the device graph drops the write;
             # silently corrupting factor L-1 was the round-2 failure mode).
@@ -351,10 +377,10 @@ class GraphBasedSLAM:
                     "converged": False, "accepted": False, "overflow": True,
                 })
             self.loop_overflow = True
-            return False
+            return None
         cands = self.detect_loop_topk(max(1, self.cfg.loop_topk))
         if not cands:
-            return False
+            return None
         latest = self.n_keyframes - 1
 
         # Latest keyframe cloud in the map frame under the current estimate (`:246-252`).
@@ -445,7 +471,24 @@ class GraphBasedSLAM:
         if self._verify_fn is None:
             self._verify_fn = self._build_verify_fn()
         Ts_d, scores_d, convs_d = self._verify_fn(*batched, *shared)
-        Ts, scores, convs = jax.device_get((Ts_d, scores_d, convs_d))
+        for leaf in (Ts_d, scores_d, convs_d):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+        return {
+            "cands": cands, "latest": latest, "T_latest": T_latest,
+            "results": (Ts_d, scores_d, convs_d), "global_diags": global_diags,
+            "age": 0,
+        }
+
+    def _consume_verify(self, pending) -> bool:
+        """Read a dispatched verification's verdicts and insert a loop factor per
+        accepted candidate (`graph_based_slam.cpp:320-341`). Returns True if any
+        factor was added."""
+        cands = pending["cands"]
+        latest = pending["latest"]
+        T_latest = pending["T_latest"]
+        global_diags = pending["global_diags"]
+        Ts, scores, convs = jax.device_get(pending["results"])
 
         any_accepted = False
         for b, cand in enumerate(cands):
@@ -484,12 +527,7 @@ class GraphBasedSLAM:
             record["accepted"] = True
             any_accepted = True
 
-        if not any_accepted:
-            return False
-        self._run_optimize()  # also refreshes the host pose mirror (the reference's
-        # deferred `adjust_pose`, `graph_based_slam.cpp:417-432`)
-        self.is_loop_closed = True
-        return True
+        return any_accepted
 
     def _host_view(self):
         """f64 `GraphView` assembled from the HOST factor mirrors — no device fetch
@@ -545,8 +583,6 @@ class GraphBasedSLAM:
         the optimum is pure storage-rounding noise (refine64.py module docstring).
         The solve operates on the active-size bucket (see `_bucket_size`); poses are
         written back into the full-capacity graph."""
-        from lidar_graph_slam_tpu.graph import refine64
-
         B = self._bucket_size()
         g = self.graph
         full = g.poses.shape[0]
@@ -557,46 +593,139 @@ class GraphBasedSLAM:
         else:
             gb = g
         view = self._host_view()
-        poses64, info = refine64.refine(view, max_iterations=2)  # warm probe
-        if not info["converged"]:
-            # Cold: CONTINUE in f64 (quadratic, reliable at this conditioning); the
-            # device LM is the fallback only if f64 itself stalls below.
-            view.poses = poses64
-            poses64, info = refine64.refine(view, max_iterations=12)
-        if not info["converged"]:
-            view.poses = poses64  # keep the f64 progress for the device start
-            gb = gb.replace(poses=gb.poses.at[: poses64.shape[0]].set(
+
+        def device_lm(poses64):
+            # The mesh-distributed (or single-chip) jitted f32 LM on the bucketed graph.
+            gd = gb.replace(poses=gb.poses.at[: poses64.shape[0]].set(
                 jnp.asarray(poses64, jnp.float32)))
             if self.mesh is not None:
                 from lidar_graph_slam_tpu.parallel.distributed import mesh_optimize
 
-                gb = mesh_optimize(
-                    self.mesh, gb, max_iterations=30, solver=self.backend_solver
+                gd = mesh_optimize(
+                    self.mesh, gd, max_iterations=30, solver=self.backend_solver
                 )
             else:
-                gb = solver.optimize(gb, max_iterations=30)
-            view.poses = np.asarray(
-                jax.device_get(gb.poses), dtype=np.float64)[: view.poses.shape[0]]
-            poses64, info = refine64.refine(view, max_iterations=6)
+                gd = solver.optimize(gd, max_iterations=30)
+            return np.asarray(
+                jax.device_get(gd.poses), dtype=np.float64)[: poses64.shape[0]]
+
+        poses64, info = solver.escalate_f64(view, device_lm, tail_iterations=6)
         k_act = poses64.shape[0]
         new_poses = g.poses.at[:k_act].set(jnp.asarray(poses64, jnp.float32))
         self.graph = g.replace(poses=new_poses)
         # Host mirror refresh comes from the solve itself — zero device reads.
         p32 = poses64.astype(np.float32)
         self._poses_host = [p32[k] for k in range(k_act)]
+        self._solve_epoch += 1
+
+    # -- concurrent back end (async verification + threaded solve) ----------------------
+
+    def _start_solve_async(self) -> None:
+        """Launch the escalation-ladder solve on a snapshot of the graph in a worker
+        thread. The snapshot (`_host_view` builds fresh numpy arrays) is all the thread
+        reads; the front end keeps appending keyframes to the mirrors meanwhile —
+        `_finish_solve` re-chains those onto the solved poses (the reference's deferred
+        `adjust_pose` semantics, `graph_based_slam.cpp:399-402`: corrections land at a
+        later keyframe, never mid-stream). numpy BLAS releases the GIL, so the f64
+        algebra genuinely overlaps the host's dispatch work."""
+        import threading
+
+        view = self._host_view()
+        # Bucketed device graph for the (rare) device-LM escalation, built on the main
+        # thread; jitted dispatch from the worker thread is supported by JAX.
+        B = self._bucket_size()
+        g = self.graph
+        gb = g if B >= g.poses.shape[0] else g.replace(
+            poses=g.poses[:B], pose_mask=g.pose_mask[:B], odom_meas=g.odom_meas[:B])
+
+        def device_lm(poses64):
+            gd = gb.replace(poses=gb.poses.at[: poses64.shape[0]].set(
+                jnp.asarray(poses64, jnp.float32)))
+            if self.mesh is not None:
+                from lidar_graph_slam_tpu.parallel.distributed import mesh_optimize
+
+                gd = mesh_optimize(
+                    self.mesh, gd, max_iterations=30, solver=self.backend_solver)
+            else:
+                gd = solver.optimize(gd, max_iterations=30)
+            return np.asarray(
+                jax.device_get(gd.poses), dtype=np.float64)[: poses64.shape[0]]
+
+        def work():
+            self._solve_result = solver.escalate_f64(view, device_lm, tail_iterations=6)
+
+        self._solve_thread = threading.Thread(target=work, daemon=True)
+        self._solve_thread.start()
+
+    def _finish_solve(self) -> None:
+        """Join the solve thread and apply its result: solved poses for the snapshot's
+        keyframes, composed odometry re-chaining for keyframes appended while it ran."""
+        self._solve_thread.join()
+        self._solve_thread = None
+        poses64, _info = self._solve_result
+        self._solve_result = None
+        p32 = poses64.astype(np.float32)
+        new_host = [p32[k] for k in range(p32.shape[0])]
+        for k in range(len(new_host), self.n_keyframes):
+            new_host.append((new_host[k - 1] @ self._host_odoms[k]).astype(np.float32))
+        self._poses_host = new_host
+        g = self.graph
+        self.graph = g.replace(poses=g.poses.at[: len(new_host)].set(
+            jnp.asarray(np.stack(new_host))))
+        self._solve_epoch += 1
+        self.is_loop_closed = True
+
+    def poll_async(self) -> None:
+        """Advance the concurrent back end by one frame: harvest a finished solve
+        (non-blocking), then consume a lagged verification and kick off its solve."""
+        if self._solve_thread is not None and not self._solve_thread.is_alive():
+            self._finish_solve()
+        if self._pending_verify is not None and self._solve_thread is None:
+            self._pending_verify["age"] += 1
+            if self._pending_verify["age"] > max(0, self.cfg.loop_verify_lag_frames):
+                pending = self._pending_verify
+                self._pending_verify = None
+                if self._consume_verify(pending):
+                    self._start_solve_async()
+
+    def finish_async(self) -> None:
+        """Drain the concurrent back end: join any in-flight solve, then consume a
+        still-pending verification synchronously. Called by the pipeline's flush so
+        results/checkpoints always see a settled graph."""
+        if self._solve_thread is not None:
+            self._finish_solve()
+        if self._pending_verify is not None:
+            pending = self._pending_verify
+            self._pending_verify = None
+            if self._consume_verify(pending):
+                self._run_optimize()
+                self.is_loop_closed = True
 
     def on_frame(self) -> bool:
         """Per-frame cadence hook: runs a loop check every `loop_search_period_frames`
         (our deterministic analog of the reference's `rate`-Hz wall timer `:71-74`;
-        period <= 0 derives it from `rate` at the nominal 10 Hz sensor)."""
+        period <= 0 derives it from `rate` at the nominal 10 Hz sensor).
+
+        With `async_backend` (default) the check only DISPATCHES verification; factors
+        land `loop_verify_lag_frames` later and the solve overlaps subsequent frames —
+        the reference's concurrent back-end architecture without its mutex race
+        (SURVEY.md §5.2). Returns True the frame a solve's corrections were applied."""
+        closed_before = self._solve_epoch
+        if self.cfg.async_backend:
+            self.poll_async()
         period = self.cfg.loop_search_period_frames
         if period <= 0:
             period = max(1, int(round(10.0 / max(self.cfg.rate, 1e-6))))
         self._frames_since_loop_check += 1
         if self._frames_since_loop_check >= period:
             self._frames_since_loop_check = 0
-            return self.try_close_loop()
-        return False
+            if not self.cfg.async_backend:
+                return self.try_close_loop()
+            # Skip the tick while the previous attempt is still in flight — the
+            # reference's timer likewise waits on its optimize mutex (`cpp:242`).
+            if self._pending_verify is None and self._solve_thread is None:
+                self._pending_verify = self.begin_loop_attempt()
+        return self._solve_epoch != closed_before
 
     # -- outputs (§3.3 publish paths + §3.5 save map) -----------------------------------
 
@@ -616,7 +745,8 @@ class GraphBasedSLAM:
         flagged in the reference's `publish_map`, `graph_based_slam.cpp:448-467`)."""
         if self.n_keyframes == 0:
             return np.zeros((0, 3), dtype=np.float32)
-        key = (self.n_keyframes, self.n_loops, float(resolution), max_points)
+        key = (self.n_keyframes, self.n_loops, self._solve_epoch,
+               float(resolution), max_points)
         cached = getattr(self, "_map_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]

@@ -291,10 +291,14 @@ class SlamPipeline:
         }
 
     def flush(self) -> None:
-        """Drain in-flight frames (fused mode)."""
+        """Drain in-flight frames (fused mode) and settle the concurrent back end
+        (join any solve thread, consume a pending verification)."""
         if self.fused:
             while self._pending:
                 self._consume_fused(self._pending.popleft())
+        if self.cfg.enable_loop_closure:
+            self.back.finish_async()
+            self._emit_loop_attempts(len(self.odometry_poses))
 
     # -- classic driver -----------------------------------------------------------------
 

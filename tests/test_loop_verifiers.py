@@ -106,3 +106,30 @@ def test_global_init_recovers_large_drift():
     # The identity-guess path is expected to miss this loop; if it ever starts passing,
     # tighten the drift so this test keeps demonstrating the capability gap.
     assert not closed_plain or rec["fitness"] <= back_plain.loop_log[-1]["fitness"]
+
+
+@pytest.mark.slow
+def test_async_backend_matches_sync():
+    """The concurrent back end (dispatch -> lagged consume -> threaded solve) must
+    accept the same loop and land on the same optimized poses as the synchronous
+    `try_close_loop` (same stages, overlapped — VERDICT r04 item 2)."""
+    import time
+
+    back_s, _ = build_loop_backend("ICP")
+    back_a, _ = build_loop_backend("ICP")
+    assert back_s.try_close_loop()
+
+    pending = back_a.begin_loop_attempt()
+    assert pending is not None
+    back_a._pending_verify = pending
+    for _ in range(500):  # poll: consume after the lag, then harvest the solve thread
+        back_a.poll_async()
+        if (back_a._pending_verify is None and back_a._solve_thread is None
+                and back_a.is_loop_closed):
+            break
+        time.sleep(0.01)
+    back_a.finish_async()
+
+    assert sum(1 for l in back_a.loop_log if l["accepted"]) == 1
+    np.testing.assert_allclose(
+        back_a.optimized_poses(), back_s.optimized_poses(), atol=1e-4)
