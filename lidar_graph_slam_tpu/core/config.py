@@ -73,6 +73,10 @@ class NdtConfig:
     # density, so seeding the fine basin from every 4th point buys ~4x on the coarse
     # stage's gather+accumulate cost at no accuracy cost (the fine stage sees all points).
     coarse_subsample: int = 4
+    # Accumulation backend for the GN inner loop: None auto-selects the fused Pallas
+    # kernel on TPU (identical math to the XLA path); True/False force it — the
+    # bench's pallas-vs-XLA end-to-end A/B flips this knob.
+    use_pallas: Optional[bool] = None
 
 
 @dataclass(frozen=True)
@@ -188,6 +192,16 @@ class GraphSlamConfig:
     gicp: GicpConfig = field(default_factory=GicpConfig)
     # Prior/odometry noise sigma^2 = [1e-6 x3 (rot), 1e-8, 1e-8, 1e-6 (trans)] (`cpp:67-69`).
     odom_noise_var: tuple = (1e-6, 1e-6, 1e-6, 1e-8, 1e-8, 1e-6)
+    # Robust loop kernel: Geman-McClure scale [m] on the PHYSICAL 6-dof loop residual
+    # (IRLS in the f64 solve tier, refine64._loop_weights; rotation counted at
+    # 5 m/rad). The reference's loop noise is the naive fitness*I6
+    # (`graph_based_slam.cpp:335-341`) with NO robustness — one
+    # fitness-passing-but-wrong factor rewrites the whole trajectory. The kernel is
+    # REDESCENDING: a factor disagreeing with the chain by >> delta meters loses its
+    # pull entirely (~(delta/s)^4), while genuine factors correcting ~delta of drift
+    # keep useful weight and recover w -> 1 as IRLS closes them. 0 disables (exact
+    # reference parity). Proven by the poisoned-loop battery (tests/test_robust_loops.py).
+    loop_robust_delta: float = 5.0
     # FPFH+RANSAC initial guess for loop verification (no reference counterpart — it uses
     # an identity guess at `graph_based_slam.cpp:318`, capped by the verifier's basin).
     use_global_init: bool = False

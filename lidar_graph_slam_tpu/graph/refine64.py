@@ -213,22 +213,35 @@ class GraphView:
     counts). Factors and orderings match `graph/solver.py:PoseGraph`."""
 
     def __init__(self, poses, odom_meas, prior_pose, odom_info,
-                 loop_i, loop_j, loop_meas, loop_info, huber_delta: float = 0.0):
+                 loop_i, loop_j, loop_meas, loop_info, robust_delta: float = 0.0,
+                 prior_rows=None, prior_poses=None, chain_mask=None):
         self.poses = np.asarray(poses, np.float64)            # [K, 4, 4]
         self.odom_meas = np.asarray(odom_meas, np.float64)    # [K, 4, 4] (row 0 unused)
         self.prior_pose = np.asarray(prior_pose, np.float64)  # [4, 4]
         self.odom_info = np.asarray(odom_info, np.float64)    # [6]
+        # BLOCK-DIAGONAL extension (parallel/multi_sequence.py solves B independent
+        # pose graphs as ONE system): `prior_rows`/`prior_poses` anchor each
+        # sub-graph's first pose (default: single prior on row 0), and
+        # `chain_mask[k]` (default all True) deactivates the odometry factor
+        # k-1 -> k at sub-graph boundaries so sequences stay decoupled.
+        if prior_rows is None:
+            prior_rows = np.zeros(1, np.int64)
+            prior_poses = self.prior_pose[None]
+        self.prior_rows = np.asarray(prior_rows, np.int64)      # [P]
+        self.prior_poses = np.asarray(prior_poses, np.float64)  # [P, 4, 4]
+        self.chain_mask = (np.ones(self.poses.shape[0], bool)
+                           if chain_mask is None else np.asarray(chain_mask, bool))
         self.loop_i = np.asarray(loop_i, np.int64)            # [L]
         self.loop_j = np.asarray(loop_j, np.int64)
         self.loop_meas = np.asarray(loop_meas, np.float64)    # [L, 4, 4]
         self.loop_info = np.asarray(loop_info, np.float64)    # [L, 6]
-        # Huber threshold on the whitened loop residual norm (IRLS); 0 = quadratic
+        # Robust-kernel scale [meters] on the PHYSICAL loop residual; 0 = quadratic
         # (exact reference parity — its loop noise is naive fitness*I6,
         # `graph_based_slam.cpp:335-341`, with no robustness at all).
-        self.huber_delta = float(huber_delta)
+        self.robust_delta = float(robust_delta)
 
     @classmethod
-    def from_device_graph(cls, g, huber_delta: float = 0.0) -> "GraphView":
+    def from_device_graph(cls, g, robust_delta: float = 0.0) -> "GraphView":
         """One batched fetch of a `solver.PoseGraph`'s ACTIVE slice."""
         import jax
 
@@ -241,33 +254,52 @@ class GraphView:
         return cls(poses[:K], odom[:K], prior, info,
                    np.asarray(li[: int(nl)])[keep], np.asarray(lj[: int(nl)])[keep],
                    np.asarray(lm[: int(nl)])[keep], np.asarray(linfo[: int(nl)])[keep],
-                   huber_delta=huber_delta)
+                   robust_delta=robust_delta)
+
+    # Rotation residual weighting for the robust scale: 1 rad of loop disagreement is
+    # treated like 5 m (automotive geometry: a 1 rad error swings a 5 m-away point by
+    # ~5 m). Only the ROBUST WEIGHT uses this scale; the factor's own information
+    # matrix is untouched.
+    _ROBUST_ROT_SCALE_M = 5.0
 
     def _loop_weights(self, poses: np.ndarray) -> np.ndarray:
-        """Per-loop-factor Huber IRLS weights at the given poses: w = 1 inside the
-        delta ball, delta/s outside (s = whitened residual norm). A wrong-but-
-        fitness-passing factor has s >> delta, so its effective information collapses
-        ~1/s and it cannot drag the trajectory; a genuine factor recovers w -> 1 as
-        the solve closes its residual."""
+        """Per-loop-factor Geman-McClure IRLS weights on the PHYSICAL residual
+        s = sqrt(|r_trans|^2 + (5 m/rad * |r_rot|)^2):  w = 1 / (1 + (s/delta)^2)^2.
+
+        REDESCENDING by design: a fitness-passing-but-WRONG factor disagrees with the
+        odometry chain by 10s-100s of meters, so w ~ (delta/s)^4 -> its pull vanishes
+        (Huber was measured insufficient here: its linear tail keeps a constant pull
+        that creeps the trajectory toward the poison over accepted LM steps). A
+        genuine factor correcting meters of drift sits near delta, keeps useful
+        weight, and recovers w -> 1 as IRLS closes its residual. The PHYSICAL scale
+        (not the whitened one) makes the outlier decision independent of the
+        fitness-derived information, which legitimately spans 1e1..1e6."""
         L = self.loop_i.size
-        if not L or self.huber_delta <= 0.0:
+        if not L or self.robust_delta <= 0.0:
             return np.ones((L,), np.float64)
         rl = se3_log(inverse(self.loop_meas)
                      @ inverse(poses[self.loop_i]) @ poses[self.loop_j])
-        s = np.sqrt(np.maximum(np.sum(rl * self.loop_info * rl, axis=-1), 1e-300))
-        return np.where(s <= self.huber_delta, 1.0, self.huber_delta / s)
+        s2 = (np.sum(rl[:, 3:] ** 2, axis=-1)
+              + self._ROBUST_ROT_SCALE_M ** 2 * np.sum(rl[:, :3] ** 2, axis=-1))
+        x = s2 / (self.robust_delta ** 2)
+        return 1.0 / (1.0 + x) ** 2
 
 
-def cost(view: GraphView, poses: np.ndarray) -> float:
-    r0 = se3_log(inverse(view.prior_pose) @ poses[0])
-    c = float(np.sum(r0 * view.odom_info * r0))
+def cost(view: GraphView, poses: np.ndarray, loop_weights=None) -> float:
+    """Weighted squared residual. `loop_weights` freezes the robust IRLS weights for
+    one majorize-minimize round (refine passes the weights its step was built with so
+    accept/reject compares the SAME surrogate); None computes them at `poses`."""
+    r0 = se3_log(inverse(view.prior_poses) @ poses[view.prior_rows])
+    c = float(np.sum(r0 * view.odom_info[None, :] * r0))
     if poses.shape[0] > 1:
         r = se3_log(inverse(view.odom_meas[1:]) @ inverse(poses[:-1]) @ poses[1:])
-        c += float(np.sum(r * view.odom_info[None, :] * r))
+        m = view.chain_mask[1:].astype(np.float64)
+        c += float(np.sum(m[:, None] * r * view.odom_info[None, :] * r))
     if view.loop_i.size:
         rl = se3_log(inverse(view.loop_meas)
                      @ inverse(poses[view.loop_i]) @ poses[view.loop_j])
-        c += float(np.sum(rl * view.loop_info * rl))
+        w = view._loop_weights(poses) if loop_weights is None else loop_weights
+        c += float(np.sum(w * np.sum(rl * view.loop_info * rl, axis=-1)))
     return c
 
 
@@ -279,17 +311,19 @@ def _assemble_chain(view: GraphView, poses: np.ndarray, damping: float):
     b = np.zeros((K, 6), np.float64)
     D = np.zeros((K, 6, 6), np.float64)
 
-    r0 = se3_log(inverse(view.prior_pose) @ poses[0])
+    # Prior factor(s): one per sub-graph anchor (a single row 0 in the live pipeline).
+    r0 = se3_log(inverse(view.prior_poses) @ poses[view.prior_rows])
     J0 = _jr_inv(r0)
-    J0W = J0.T * view.odom_info[None, :]
-    D[0] += J0W @ J0
-    b[0] -= J0W @ r0
+    J0W = np.swapaxes(J0, -1, -2) * view.odom_info[None, None, :]
+    np.add.at(D, view.prior_rows, J0W @ J0)
+    np.subtract.at(b, view.prior_rows, (J0W @ r0[..., None])[..., 0])
 
     U = np.zeros((max(K - 1, 0), 6, 6), np.float64)
     if K > 1:
         r, Ji, Jj = between_residual(poses[:-1], poses[1:], view.odom_meas[1:])
-        JiW = np.swapaxes(Ji, -1, -2) * view.odom_info[None, None, :]
-        JjW = np.swapaxes(Jj, -1, -2) * view.odom_info[None, None, :]
+        m = view.chain_mask[1:].astype(np.float64)[:, None, None]
+        JiW = m * np.swapaxes(Ji, -1, -2) * view.odom_info[None, None, :]
+        JjW = m * np.swapaxes(Jj, -1, -2) * view.odom_info[None, None, :]
         D[:-1] += JiW @ Ji
         D[1:] += JjW @ Jj
         U = JiW @ Jj                                      # block (k-1, k)
@@ -327,9 +361,10 @@ class SparseV:
         return out.reshape(6 * self.L, X.shape[-1])
 
 
-def _loop_terms(view: GraphView, poses: np.ndarray):
+def _loop_terms(view: GraphView, poses: np.ndarray, loop_weights=None):
     """Loop-factor gradient contribution b_loop [K,6] and block-sparse whitened
-    Woodbury columns (f64 mirror of `graph/solver.py:loop_gradient_and_whitened_columns`)."""
+    Woodbury columns (f64 mirror of `graph/solver.py:loop_gradient_and_whitened_columns`).
+    `loop_weights`: frozen robust IRLS weights (see `cost`)."""
     K = poses.shape[0]
     L = view.loop_i.size
     b_loop = np.zeros((K, 6), np.float64)
@@ -338,11 +373,14 @@ def _loop_terms(view: GraphView, poses: np.ndarray):
                                np.zeros((0, 6, 6)))
     rl, Jli, Jlj = between_residual(poses[view.loop_i], poses[view.loop_j],
                                     view.loop_meas)
-    JiW = np.swapaxes(Jli, -1, -2) * view.loop_info[:, None, :]
-    JjW = np.swapaxes(Jlj, -1, -2) * view.loop_info[:, None, :]
+    # Robust IRLS: scale each factor's information by its current robust weight.
+    w = view._loop_weights(poses) if loop_weights is None else loop_weights
+    info_eff = view.loop_info * w[:, None]
+    JiW = np.swapaxes(Jli, -1, -2) * info_eff[:, None, :]
+    JjW = np.swapaxes(Jlj, -1, -2) * info_eff[:, None, :]
     np.subtract.at(b_loop, view.loop_i, (JiW @ rl[..., None])[..., 0])
     np.subtract.at(b_loop, view.loop_j, (JjW @ rl[..., None])[..., 0])
-    sqrt_info = np.sqrt(view.loop_info)                   # [L, 6]
+    sqrt_info = np.sqrt(info_eff)                         # [L, 6]
     JiS = np.swapaxes(Jli, -1, -2) * sqrt_info[:, None, :]
     JjS = np.swapaxes(Jlj, -1, -2) * sqrt_info[:, None, :]
     rows = np.concatenate([view.loop_i, view.loop_j])
@@ -664,8 +702,15 @@ def refine(view: GraphView, max_iterations: int = 8, damping: float = 1e-9,
             "final_cost": c0}
     lam = damping
     for it in range(max_iterations):
+        # One majorize-minimize round: freeze the robust IRLS weights at the current
+        # iterate — the GN step, c0, and the candidate's cost all use the SAME
+        # quadratic surrogate, so accept/reject is consistent (recomputing weights
+        # inside the accept test was measured to let adversarial factors creep the
+        # trajectory through tiny "descents" of a shifting objective).
+        w_loops = view._loop_weights(poses)
+        c0 = cost(view, poses, loop_weights=w_loops)
         D, U, b_chain = _assemble_chain(view, poses, lam)
-        b_loop, Vw = _loop_terms(view, poses)
+        b_loop, Vw = _loop_terms(view, poses, loop_weights=w_loops)
         try:
             delta = _solve_chain_plus_loops(D, U, b_chain, b_loop, Vw)
         except np.linalg.LinAlgError:  # not SPD — raise damping, retry next iter
@@ -678,7 +723,7 @@ def refine(view: GraphView, max_iterations: int = 8, damping: float = 1e-9,
         if info["initial_step_norm"] is None:
             info["initial_step_norm"] = step_norm
         cand = poses @ se3_exp(delta)
-        c1 = cost(view, cand)
+        c1 = cost(view, cand, loop_weights=w_loops)
         info["iterations"] = it + 1
         if c1 <= c0:
             poses, c0 = cand, c1

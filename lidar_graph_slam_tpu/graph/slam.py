@@ -45,6 +45,73 @@ from lidar_graph_slam_tpu.registration import icp as icp_mod
 from lidar_graph_slam_tpu.registration import ndt as ndt_mod
 
 
+def make_verify_one(cfg: GraphSlamConfig, method: str):
+    """Single-candidate loop-verification program: coarse NDT pre-align -> configured
+    verifier (`get_registration` factory, `graph_based_slam.cpp:77-155`; default ICP per
+    `param.yaml:9`) -> uniform PCL-style fitness (`:320-328`).
+
+    Returned as a plain traceable function so callers pick the batch axes:
+    `GraphBasedSLAM` vmaps it over candidates with a shared source cloud;
+    `parallel/multi_sequence.py` vmaps EVERY argument to batch across sequences on the
+    mesh. use_pallas=False throughout: the program always runs under vmap and the fused
+    Pallas accumulation has no batching rule; the XLA path is identical math, and loop
+    verification is off the per-frame hot path."""
+    # NN grid cell: the configured correspondence distance, capped at 2 m — the NDT
+    # pre-align already brings correspondences within ~a cell, so the reference's
+    # 30 m default (`graph_based_slam.cpp:146`, which compensates for its identity
+    # guess) would only blur the NN search here. Values below 2 m are honored exactly.
+    corr_dist = min(cfg.icp.max_correspondence_distance, 2.0)
+
+    def one(grid, pre_map, extra, guess, src_p, src_m, src_covs):
+        # Stage 1: coarse NDT pre-align from `guess` — identity (the reference's ICP
+        # guess at `:318`) unless the FPFH+RANSAC global init succeeded.
+        pre = ndt_mod.ndt_align(
+            pre_map, src_p, src_m, guess, step_size=0.4, max_iterations=16,
+            use_pallas=False,
+        )
+        # Stage 2: refine with the configured verifier. After the coarse pre-align
+        # correspondences sit within ~a cell, so the 7-cell neighborhood suffices
+        # (4x fewer gather indices than the 27-cell search).
+        if method == "ICP":
+            res = icp_mod.icp_align(
+                grid, src_p, src_m, pre.transform,
+                max_correspondence_distance=corr_dist,
+                max_iterations=cfg.icp.max_iterations,
+                transform_epsilon=max(cfg.icp.transform_epsilon, 1e-7),
+                euclidean_fitness_epsilon=cfg.icp.euclidean_fitness_epsilon,
+                bucket_cap=16, neighborhood=7,
+            )
+        elif method == "GICP":
+            from lidar_graph_slam_tpu.registration import gicp as gicp_mod
+
+            res = gicp_mod.gicp_align(
+                extra, src_p, src_m, pre.transform, src_covs,
+                max_correspondence_distance=cfg.gicp.max_correspondence_distance,
+                transform_epsilon=max(cfg.gicp.transform_epsilon, 1e-7),
+                max_iterations=cfg.gicp.max_iterations,
+                use_pallas=False,
+            )
+        else:  # NDT
+            res = ndt_mod.ndt_align(
+                extra, src_p, src_m, pre.transform,
+                step_size=cfg.ndt.step_size,
+                transform_epsilon=cfg.ndt.transform_epsilon,
+                outlier_ratio=cfg.ndt.outlier_ratio,
+                max_iterations=cfg.ndt.max_iterations,
+                use_pallas=False,
+            )
+        # The decision quantity is always the PCL-style fitness score (`:320-328`),
+        # computed uniformly by `fitness_score` so the 0.3 gate means the same thing
+        # for every method.
+        score = icp_mod.fitness_score(
+            grid, src_p, src_m, res.transform, max_range=corr_dist,
+            bucket_cap=16, neighborhood=7, mode=cfg.fitness_mode,
+        )
+        return res.transform, score, res.converged
+
+    return one
+
+
 class GraphBasedSLAM:
     """Host-side back end. Keyframe clouds are kept host-side (numpy) and shipped to the
     device only for loop verification and map assembly. The pose graph lives twice by
@@ -284,65 +351,8 @@ class GraphBasedSLAM:
         default ICP per `param.yaml:9`) -> uniform PCL-style fitness (`:320-328`), vmapped
         over the candidate axis. Compiled once per batch size (jit shape cache); with a
         mesh, input shardings fan the candidates out over devices."""
-        cfg = self.cfg
-        method = self.method
-        # NN grid cell: the configured correspondence distance, capped at 2 m — the NDT
-        # pre-align already brings correspondences within ~a cell, so the reference's
-        # 30 m default (`graph_based_slam.cpp:146`, which compensates for its identity
-        # guess) would only blur the NN search here. Values below 2 m are honored exactly.
-        corr_dist = min(cfg.icp.max_correspondence_distance, 2.0)
-
-        def one(grid, pre_map, extra, guess, src_p, src_m, src_covs):
-            # Stage 1: coarse NDT pre-align from `guess` — identity (the reference's ICP
-            # guess at `:318`) unless the FPFH+RANSAC global init succeeded.
-            # use_pallas=False throughout: this whole program runs under vmap (candidate
-            # batch) and the fused Pallas accumulation has no batching rule; the XLA path
-            # is identical math, and loop verification is a rare event off the hot path.
-            pre = ndt_mod.ndt_align(
-                pre_map, src_p, src_m, guess, step_size=0.4, max_iterations=16,
-                use_pallas=False,
-            )
-            # Stage 2: refine with the configured verifier. After the coarse pre-align
-            # correspondences sit within ~a cell, so the 7-cell neighborhood suffices
-            # (4x fewer gather indices than the 27-cell search).
-            if method == "ICP":
-                res = icp_mod.icp_align(
-                    grid, src_p, src_m, pre.transform,
-                    max_correspondence_distance=corr_dist,
-                    max_iterations=cfg.icp.max_iterations,
-                    transform_epsilon=max(cfg.icp.transform_epsilon, 1e-7),
-                    euclidean_fitness_epsilon=cfg.icp.euclidean_fitness_epsilon,
-                    bucket_cap=16, neighborhood=7,
-                )
-            elif method == "GICP":
-                from lidar_graph_slam_tpu.registration import gicp as gicp_mod
-
-                res = gicp_mod.gicp_align(
-                    extra, src_p, src_m, pre.transform, src_covs,
-                    max_correspondence_distance=cfg.gicp.max_correspondence_distance,
-                    transform_epsilon=max(cfg.gicp.transform_epsilon, 1e-7),
-                    max_iterations=cfg.gicp.max_iterations,
-                    use_pallas=False,
-                )
-            else:  # NDT
-                res = ndt_mod.ndt_align(
-                    extra, src_p, src_m, pre.transform,
-                    step_size=cfg.ndt.step_size,
-                    transform_epsilon=cfg.ndt.transform_epsilon,
-                    outlier_ratio=cfg.ndt.outlier_ratio,
-                    max_iterations=cfg.ndt.max_iterations,
-                    use_pallas=False,
-                )
-            # The decision quantity is always the PCL-style fitness score (`:320-328`),
-            # computed uniformly by `fitness_score` so the 0.3 gate means the same thing
-            # for every method.
-            score = icp_mod.fitness_score(
-                grid, src_p, src_m, res.transform, max_range=corr_dist,
-                bucket_cap=16, neighborhood=7, mode=cfg.fitness_mode,
-            )
-            return res.transform, score, res.converged
-
-        return jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, None, None, None)))
+        return jax.jit(jax.vmap(make_verify_one(self.cfg, self.method),
+                                in_axes=(0, 0, 0, 0, None, None, None)))
 
     def try_close_loop(self) -> bool:
         """One SYNCHRONOUS loop-closure attempt for the latest keyframe: verify the
@@ -362,12 +372,13 @@ class GraphBasedSLAM:
         self.is_loop_closed = True
         return True
 
-    def begin_loop_attempt(self):
-        """Detect + DISPATCH verification for the latest keyframe; returns an opaque
-        pending record (or None if gated/busy). Device->host copies of the verdicts
-        start immediately (`copy_to_host_async`), so consuming the record a few frames
-        later costs ~nothing — the async analog of the reference's separate-process
-        back end (`graph_based_slam.cpp:71-74`, registration `:503-504`)."""
+    def _build_verify_inputs(self):
+        """Detection + host-side verification-input builds for the latest keyframe.
+        Returns None (gated/capacity) or a dict with the per-candidate `batched`
+        pytrees, the per-attempt `shared` source arrays, and attempt metadata —
+        consumed by `begin_loop_attempt` (dispatch here) or by
+        `parallel/multi_sequence.py` (which concatenates inputs across SEQUENCES into
+        one mesh-sharded dispatch)."""
         if self.n_loops >= self.capacity.max_loop_factors:
             # Refuse at capacity and surface it (the device graph drops the write;
             # silently corrupting factor L-1 was the round-2 failure mode).
@@ -459,13 +470,30 @@ class GraphBasedSLAM:
         else:
             src_covs = jnp.zeros((1, 3, 3), jnp.float32)
 
-        from lidar_graph_slam_tpu.parallel.distributed import shard_batch, stack_pytrees
+        from lidar_graph_slam_tpu.parallel.distributed import stack_pytrees
 
         batched = (
             stack_pytrees(grids), stack_pytrees(pre_maps), stack_pytrees(extras),
             jnp.stack(guesses),
         )
         shared = (src_cloud.points, src_cloud.mask, src_covs)
+        return {
+            "cands": cands, "latest": latest, "T_latest": T_latest,
+            "batched": batched, "shared": shared, "global_diags": global_diags,
+        }
+
+    def begin_loop_attempt(self):
+        """Detect + DISPATCH verification for the latest keyframe; returns an opaque
+        pending record (or None if gated/busy). Device->host copies of the verdicts
+        start immediately (`copy_to_host_async`), so consuming the record a few frames
+        later costs ~nothing — the async analog of the reference's separate-process
+        back end (`graph_based_slam.cpp:71-74`, registration `:503-504`)."""
+        from lidar_graph_slam_tpu.parallel.distributed import shard_batch
+
+        inp = self._build_verify_inputs()
+        if inp is None:
+            return None
+        batched, shared = inp.pop("batched"), inp.pop("shared")
         if self.mesh is not None:
             batched, shared = shard_batch(self.mesh, batched, shared)
         if self._verify_fn is None:
@@ -474,11 +502,9 @@ class GraphBasedSLAM:
         for leaf in (Ts_d, scores_d, convs_d):
             if hasattr(leaf, "copy_to_host_async"):
                 leaf.copy_to_host_async()
-        return {
-            "cands": cands, "latest": latest, "T_latest": T_latest,
-            "results": (Ts_d, scores_d, convs_d), "global_diags": global_diags,
-            "age": 0,
-        }
+        inp["results"] = (Ts_d, scores_d, convs_d)
+        inp["age"] = 0
+        return inp
 
     def _consume_verify(self, pending) -> bool:
         """Read a dispatched verification's verdicts and insert a loop factor per
@@ -548,6 +574,7 @@ class GraphBasedSLAM:
             self._host_prior,
             1.0 / np.asarray(self.cfg.odom_noise_var, np.float64),
             li, lj, lz, linfo,
+            robust_delta=self.cfg.loop_robust_delta,
         )
 
     def _bucket_size(self) -> int:
