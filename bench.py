@@ -146,7 +146,9 @@ def bench_scan_match(cfg=None, occlusion=True, fetch_overhead=None):
 
 
 def bench_scan_match_ab(fetch_overhead=None):
-    """A/B decomposition of the headline config (VERDICT r03 item 5)."""
+    """A/B decomposition of the headline config (VERDICT r03 item 5), plus the
+    pallas-vs-XLA accumulation A/B (VERDICT r04 item 6: if the fused kernel does not
+    beat the XLA path END-TO-END, it is debt)."""
     import dataclasses
 
     from lidar_graph_slam_tpu.core.config import NdtConfig
@@ -158,6 +160,82 @@ def bench_scan_match_ab(fetch_overhead=None):
         fetch_overhead=fetch_overhead), 1)
     out["no_occlusion_fps"] = round(bench_scan_match(
         base, occlusion=False, fetch_overhead=fetch_overhead), 1)
+    out["xla_accumulate_fps"] = round(bench_scan_match(
+        dataclasses.replace(base, use_pallas=False),
+        fetch_overhead=fetch_overhead), 1)
+    return out
+
+
+def bench_frame_budget(fetch_overhead=None):
+    """Device-time decomposition of one DENSE-course odometry frame (VERDICT r04
+    item 3): where do the milliseconds go? Each stage is timed with a dispatch chain
+    ending in one dependent fetch (the only honest timing on this backend). The
+    keyframe-frame total is fused_step + insert_and_rebuild — at automotive motion
+    nearly every frame keyframes, so that sum bounds the steady frame time."""
+    import jax
+    import jax.numpy as jnp
+
+    from lidar_graph_slam_tpu.core.config import (
+        CapacityConfig, PrefilterConfig, ScanMatcherConfig)
+    from lidar_graph_slam_tpu.core.pointcloud import PAD_VALUE
+    from lidar_graph_slam_tpu.filters.prefilter import make_prefilter
+    from lidar_graph_slam_tpu.io.synthetic import (
+        SyntheticSequence, make_world, simulate_scan)
+    from lidar_graph_slam_tpu.odometry.fused import make_fused_frontend
+
+    fo = fetch_overhead if fetch_overhead is not None else _measure_fetch_overhead()
+    rng = np.random.default_rng(2)
+    world = make_world(rng, extent=60.0, density=60.0, wall_height=12.0,
+                       box_height=(6.0, 25.0), n_boxes=60)
+    seq = SyntheticSequence(n_frames=6, seed=2, radius=35.0, laps=0.05,
+                            max_points=131072, n_azimuth=2048, n_elevation=64)
+    scan = simulate_scan(world, seq.poses[5], rng, max_points=131072,
+                         n_azimuth=2048, n_elevation=64)
+    cap = CapacityConfig()
+    pcfg = PrefilterConfig()
+    pf = make_prefilter(pcfg, capacity_out=cap.filtered_points,
+                        voxel_capacity=min(cap.raw_points, 2 * cap.filtered_points))
+    raw = np.full((131072, 3), PAD_VALUE, np.float32)
+    raw[: scan.shape[0]] = scan
+    raw = jnp.asarray(raw)
+    raw_mask = raw[:, 0] < 0.5 * PAD_VALUE
+    out = {"raw_points": int(scan.shape[0])}
+
+    f = pf(raw, raw_mask)
+    out["prefilter_ms"] = round(1e3 * _timeit(
+        lambda: pf(raw, raw_mask), n=20, fetch_overhead=fo), 2)
+
+    init_state, step, aux = make_fused_frontend(ScanMatcherConfig(), pcfg, cap)
+    st = init_state()
+    ring = aux["init_ring"]()
+    guess = jnp.asarray(seq.poses[5], jnp.float32)
+    iar = aux["insert_and_rebuild"]
+    for i in range(20):  # fill the ring (production occupancy)
+        ring, tgt = iar(ring, jnp.asarray(i % 20, jnp.int32), f.points, f.mask, guess)
+    _fetch(jax.tree.leaves(tgt)[0])
+
+    slot = jnp.asarray(0, jnp.int32)
+
+    def one_iar():
+        nonlocal ring
+        ring, t = iar(ring, slot, f.points, f.mask, guess)
+        return jax.tree.leaves(t)[0]
+
+    out["insert_and_rebuild_ms"] = round(1e3 * _timeit(one_iar, n=15, fetch_overhead=fo), 2)
+
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    eye4 = jnp.eye(4, dtype=jnp.float32)
+    false = jnp.asarray(False)
+    st, o = step(st, raw, tgt, eye3, false, eye4, false)
+
+    def one_step():
+        nonlocal st
+        st, o = step(st, raw, tgt, eye3, false, eye4, false)
+        return o.pose
+
+    out["fused_step_ms"] = round(1e3 * _timeit(one_step, n=20, fetch_overhead=fo), 2)
+    out["keyframe_frame_total_ms"] = round(
+        out["fused_step_ms"] + out["insert_and_rebuild_ms"], 2)
     return out
 
 
@@ -342,29 +420,22 @@ def _accuracy(res, gt_poses):
 
 
 def bench_e2e(n_frames=360):
-    """Full pipeline on a TWO-lap synthetic loop course: throughput + accuracy, with
-    loop closure on and off. ~1.3 m per frame (automotive KITTI motion at 10 Hz; every
-    keyframe rebuilds the submap — the reference's worst case,
-    `lidar_scan_matcher.cpp:199-212`); the second lap re-traverses the first, so the
-    back end's gates (accum >= 100 m, euclid < 15 m) fire repeatedly.
-
-    Reading the loop_on/loop_off A/B: on this dense course the NDT odometry is already
-    at mm-level RPE, so accepted loops are roughly accuracy-neutral (their ICP-derived
-    corrections carry ~the same error as the drift they fix); on sparser worlds the
-    same pipeline shows the expected gain (r04 trial at ~9k pts/frame: keyframe ATE
-    0.173 m with loops vs 0.206 m without). Both regimes are honest — loop closure's
-    value scales with odometry drift, exactly as in the reference."""
+    """Full pipeline on a THREE-lap DRIFT-REGIME course: accuracy with loop closure on
+    and off, plus throughput. ~1.9 m per frame over 3.05 laps of a sparse (~9k
+    pts/frame) world — sparse geometry makes the NDT odometry genuinely drift
+    (~0.26 m ATE over ~660 m), so the recorded loop_on/loop_off A/B exercises what
+    the back end is FOR (VERDICT r04 item 5: the old dense 2-lap course had mm-level
+    RPE and loops were accuracy-neutral on it; measured here, loops cut keyframe ATE
+    0.26 -> 0.216 on this course and 0.251 -> 0.142 on the 400-frame at-scale run,
+    docs/at_scale_3laps_400frames.json). Dense-load throughput is measured separately
+    by bench_e2e_dense. Every keyframe rebuilds the submap — the reference's worst
+    case, `lidar_scan_matcher.cpp:199-212`."""
     from lidar_graph_slam_tpu.io.synthetic import SyntheticSequence
 
     seq = SyntheticSequence(
         n_frames=n_frames, seed=1, extent=60.0, radius=35.0, max_points=131072,
-        noise=0.02, laps=2.10, n_azimuth=2048, n_elevation=64,
+        noise=0.02, laps=3.05, n_azimuth=2048, n_elevation=64,
     )
-    # Denser world for the accuracy course (~30k pts/frame, VLP-32-class; the default
-    # density-4 world yields only ~9k returns). HDL-64-class load is measured by
-    # bench_e2e_dense.
-    from lidar_graph_slam_tpu.io.synthetic import make_world as _mw
-    seq.world = _mw(np.random.default_rng(1), extent=60.0, density=30.0)
     scans, gts = [], []
     for scan, gt in seq:
         scans.append(scan)
@@ -540,6 +611,8 @@ def main():
         "device_f64": device_f64,
         "e2e_pipeline": _retry(bench_e2e, "e2e"),
         "e2e_dense": _retry(bench_e2e_dense, "e2e_dense"),
+        "frame_budget": _retry(lambda: bench_frame_budget(fetch_overhead=fo),
+                               "frame_budget"),
         "ndt_accumulate_roofline": _retry(bench_roofline, "roofline"),
     }
     kitti = _retry(bench_kitti, "kitti")

@@ -82,6 +82,21 @@ class KittiSequence:
         return len(self.files)
 
     def __iter__(self) -> Iterator:
+        if self.max_points is not None:
+            # Native read-ahead: host decode of scan t+1 overlaps device compute of
+            # scan t (`native/lgs_io.cpp` prefetcher; numpy fallback inside). This is
+            # the production CLI path — `pipeline/cli.py` passes
+            # max_points=capacity.raw_points.
+            from lidar_graph_slam_tpu import native
+
+            pf = native.ScanPrefetcher(self.files, self.max_points)
+            try:
+                for i, (pts, n) in enumerate(pf):
+                    gt = self.gt_poses[i] if self.gt_poses is not None else None
+                    yield pts[:n], gt
+            finally:
+                pf.close()
+            return
         for i, f in enumerate(self.files):
             scan = read_velodyne_bin(f, self.max_points)
             gt = self.gt_poses[i] if self.gt_poses is not None else None

@@ -91,8 +91,8 @@ def make_fused_frontend(
 ) -> Tuple[Callable[[], FrontEndState], Callable, dict]:
     """Build (init_state, step, aux) for the fused front end.
 
-    step(state, raw_points [R,3], raw_mask [R], target, imu_R [3,3], use_imu bool)
-        -> (state', FrameOut)
+    step(state, raw_points [R,3], target, imu_R [3,3], use_imu bool,
+         T_ext [4,4], use_ext bool) -> (state', FrameOut)
 
     aux = {"init_ring": () -> SubmapRing, "rebuild": ring -> target, "window": int}
     exposes the classic driver's ring/target programs for the host to drive.
@@ -117,17 +117,6 @@ def make_fused_frontend(
 
     window = cfg.max_scan_accumulate_num
     n_filtered = capacity.filtered_points
-    use_extrinsic = any(abs(v) > 1e-12 for v in cfg.extrinsic_xyzrpy)
-    if use_extrinsic:
-        import numpy as _np
-
-        x, y, z, roll, pitch, yaw = cfg.extrinsic_xyzrpy
-        _T_ext_host = _np.asarray(
-            se3.make_transform(
-                se3.so3_exp(jnp.asarray([roll, pitch, yaw], jnp.float32)),
-                jnp.asarray([x, y, z], jnp.float32),
-            )
-        )
 
     def _register(target, points, mask, guess):
         if method == "GICP":
@@ -150,19 +139,20 @@ def make_fused_frontend(
         )
 
     @partial(jax.jit, donate_argnames=("state",))
-    def step(state: FrontEndState, raw_points, target, imu_R, use_imu):
+    def step(state: FrontEndState, raw_points, target, imu_R, use_imu, T_ext, use_ext):
         # Validity is derived from the PAD_VALUE sentinel ON DEVICE: the host uploads one
         # [R, 3] array per frame instead of points + mask — on a high-latency host link
         # each transfer costs more in fixed latency than in bytes, so halving the
         # per-frame transfer count matters more than the mask's 128 KB.
         raw_mask = raw_points[:, 0] < (0.5 * PAD_VALUE)
-        if use_extrinsic:
-            T_ext = jnp.asarray(_T_ext_host)
-            raw_points = jnp.where(
-                raw_mask[:, None],
-                se3.transform_points(T_ext, raw_points),
-                jnp.full_like(raw_points, PAD_VALUE),
-            )
+        # Per-frame sensor->base extrinsic (the reference's per-callback TF lookup with
+        # identity fallback, `lidar_scan_matcher.cpp:129-131,252-273`): T_ext is a traced
+        # input, so a time-varying provider costs nothing when unused (use_ext False).
+        raw_points = jnp.where(
+            use_ext & raw_mask[:, None],
+            se3.transform_points(T_ext, raw_points),
+            raw_points,
+        )
         filtered = prefilter(raw_points, raw_mask)
         bootstrap = state.n_keyframes == 0
 

@@ -118,6 +118,9 @@ class ScanMatcher:
         # 117-120`, `imu_queue_` hpp:113); here the gyro actually improves the initial
         # guess: integrated angular velocity replaces the constant-velocity rotation.
         self.imu_queue: list[tuple[float, np.ndarray]] = []  # (stamp, angular_velocity)
+        # Time-varying sensor->base extrinsic hook (`resolve_extrinsic`): a callable
+        # stamp -> [4,4] | None, standing in for the reference's per-frame TF lookup.
+        self.extrinsic_provider = None
         self.last_scan_stamp: Optional[float] = None
         self.accum_distance = 0.0
         self.n_keyframes = 0
@@ -195,17 +198,30 @@ class ScanMatcher:
         out[:3, :3] = R
         return out
 
+    def resolve_extrinsic(self, stamp: Optional[float]) -> Optional[np.ndarray]:
+        """Sensor->base transform for this frame — the reference's per-callback TF
+        lookup (`lidar_scan_matcher.cpp:129-131,252-273`): a time-varying
+        `extrinsic_provider(stamp) -> [4,4] | None` takes precedence; a provider miss
+        (None) falls back to the static config extrinsic; both absent -> None
+        (identity, the reference's lookup-failure fallback)."""
+        if self.extrinsic_provider is not None:
+            T = self.extrinsic_provider(stamp)
+            if T is not None:
+                return np.asarray(T, np.float32)
+        if any(abs(v) > 1e-12 for v in self.cfg.extrinsic_xyzrpy):
+            x, y, z, roll, pitch, yaw = self.cfg.extrinsic_xyzrpy
+            return np.asarray(se3.make_transform(
+                se3.so3_exp(jnp.asarray([roll, pitch, yaw], jnp.float32)),
+                jnp.asarray([x, y, z], jnp.float32),
+            ))
+        return None
+
     def process(self, cloud: PointCloud, stamp: Optional[float] = None) -> dict:
         """Feed one prefiltered scan (sensor frame); returns per-frame odometry outputs."""
         self.n_frames += 1
-        if any(abs(v) > 1e-12 for v in self.cfg.extrinsic_xyzrpy):
-            # Sensor -> base transform (the reference's tf lookup, `:129-131`).
-            x, y, z, roll, pitch, yaw = self.cfg.extrinsic_xyzrpy
-            T = se3.make_transform(
-                se3.so3_exp(jnp.asarray([roll, pitch, yaw], jnp.float32)),
-                jnp.asarray([x, y, z], jnp.float32),
-            )
-            pts = se3.transform_points(T, cloud.points)
+        T_ext = self.resolve_extrinsic(stamp)
+        if T_ext is not None:
+            pts = se3.transform_points(jnp.asarray(T_ext), cloud.points)
             from lidar_graph_slam_tpu.core.pointcloud import pad_points
 
             cloud = PointCloud(points=pad_points(pts, cloud.mask), mask=cloud.mask)

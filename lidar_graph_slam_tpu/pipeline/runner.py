@@ -43,11 +43,17 @@ class PipelineResult:
 class SlamPipeline:
     """Host driver: feed raw scans, get trajectories, map, and metrics."""
 
-    def __init__(self, cfg: PipelineConfig, metrics_path: Optional[str] = None):
+    def __init__(self, cfg: PipelineConfig, metrics_path: Optional[str] = None,
+                 extrinsic_provider=None):
         from lidar_graph_slam_tpu.utils.telemetry import MetricsWriter
 
         self.metrics_writer = MetricsWriter(metrics_path)
         self.cfg = cfg
+        # Per-frame sensor->base extrinsic hook: callable stamp -> [4,4] | None (None
+        # falls back to the static config extrinsic, then identity) — the reference's
+        # per-callback TF lookup with identity fallback
+        # (`lidar_scan_matcher.cpp:129-131,252-273`).
+        self.extrinsic_provider = extrinsic_provider
         cap = cfg.capacity
         # Mesh parallelism (ParallelConfig): the back end's pose-graph solve runs
         # Schur-distributed and top-k loop verification shards over the mesh. The front
@@ -91,6 +97,16 @@ class SlamPipeline:
 
             init_state, self._step, aux = make_fused_frontend(cfg.scan_matcher, cfg.prefilter, cap)
             self._state = init_state()
+            # Static extrinsic precomputed once; the provider (if any) overrides per frame.
+            self._static_ext = None
+            if any(abs(v) > 1e-12 for v in cfg.scan_matcher.extrinsic_xyzrpy):
+                from lidar_graph_slam_tpu.core import se3 as _se3
+
+                x, y, z, roll, pitch, yaw = cfg.scan_matcher.extrinsic_xyzrpy
+                self._static_ext = np.asarray(_se3.make_transform(
+                    _se3.so3_exp(jnp.asarray([roll, pitch, yaw], jnp.float32)),
+                    jnp.asarray([x, y, z], jnp.float32)))
+            self._eye4 = jnp.eye(4, dtype=jnp.float32)
             self._ring = aux["init_ring"]()
             self._rebuild = aux["rebuild"]
             self._insert_and_rebuild = aux["insert_and_rebuild"]
@@ -122,6 +138,7 @@ class SlamPipeline:
                 cfg.scan_matcher, scan_capacity=cap.filtered_points,
                 map_voxel_capacity=cap.voxel_capacity,
             )
+            self.front.extrinsic_provider = extrinsic_provider
             self._kf_consumed = 0
 
     def _emit_loop_attempts(self, frame_idx: int) -> None:
@@ -257,10 +274,18 @@ class SlamPipeline:
         imu_R = integrate_gyro(self._imu_queue, self._last_dispatch_stamp, stamp)
         self._last_dispatch_stamp = stamp
         use_imu = imu_R is not None and frame_idx > 0
+        # Per-frame extrinsic: provider (TF-lookup analog) -> static config -> identity.
+        T_ext = None
+        if self.extrinsic_provider is not None:
+            T_ext = self.extrinsic_provider(stamp)
+        if T_ext is None:
+            T_ext = self._static_ext
         self._state, out = self._step(
             self._state, raw_pts, self._target,
             jnp.asarray(imu_R, jnp.float32) if use_imu else self._eye3,
             self._true if use_imu else self._false,
+            self._eye4 if T_ext is None else jnp.asarray(T_ext, jnp.float32),
+            self._false if T_ext is None else self._true,
         )
         # Start device->host copies NOW, non-blocking: by the time this frame is
         # consumed (`pipeline_depth` frames later) the payload is already host-side, so

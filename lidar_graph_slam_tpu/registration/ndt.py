@@ -223,6 +223,7 @@ def make_ndt_matcher(cfg: NdtConfig, map_capacity: int):
                 outlier_ratio=cfg.outlier_ratio,
                 max_iterations=cfg.coarse_iterations,
                 polish_iterations=0,
+                use_pallas=cfg.use_pallas,
             )
             init_T = pre.transform
         else:
@@ -236,6 +237,7 @@ def make_ndt_matcher(cfg: NdtConfig, map_capacity: int):
             transform_epsilon=cfg.transform_epsilon,
             outlier_ratio=cfg.outlier_ratio,
             max_iterations=cfg.max_iterations,
+            use_pallas=cfg.use_pallas,
         )
 
     return build_target, align

@@ -95,3 +95,43 @@ def test_extrinsic_applied():
         # Rotate the raw scan by the inverse extrinsic; the configured extrinsic undoes it.
         b = sm_b.process(PointCloud.from_array(s @ Rz.T, capacity=2048))
     np.testing.assert_allclose(a["pose"][:3, 3], b["pose"][:3, 3], atol=0.05)
+
+
+@pytest.mark.slow
+def test_dynamic_extrinsic_provider():
+    """A time-varying extrinsic provider (the reference's per-frame TF lookup,
+    `lidar_scan_matcher.cpp:252-273`) must undo a per-frame sensor rotation in BOTH
+    drivers; a provider returning None falls back like a failed TF lookup."""
+    import jax.numpy as jnp
+    from lidar_graph_slam_tpu.core import se3 as se3m
+    from lidar_graph_slam_tpu.core.config import CapacityConfig, PipelineConfig, PrefilterConfig
+    from lidar_graph_slam_tpu.pipeline.runner import SlamPipeline
+
+    seq = SyntheticSequence(n_frames=8, seed=12, max_points=2048, laps=0.06)
+    scans = [s for s, _ in seq]
+    yaws = [0.1 * i for i in range(len(scans))]   # time-varying mount rotation
+
+    def provider(stamp):
+        if stamp is None:
+            return None  # TF-lookup miss -> identity fallback
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.asarray(se3m.so3_exp(jnp.asarray([0, 0, yaws[int(stamp)]], jnp.float32)))
+        return T
+
+    cap = CapacityConfig(raw_points=8192, filtered_points=2048, keyframe_points=2048,
+                         max_keyframes=64, voxel_capacity=16384,
+                         loop_submap_points=16384, max_loop_factors=4)
+    base = dict(prefilter=PrefilterConfig(leaf_size=0.3, mean_k=10), capacity=cap,
+                enable_loop_closure=False)
+    for fused in (True, False):
+        cfg = PipelineConfig(fused_frontend=fused, **base)
+        pipe_plain = SlamPipeline(cfg)
+        pipe_dyn = SlamPipeline(cfg, extrinsic_provider=provider)
+        for i, s in enumerate(scans):
+            a = pipe_plain.process_scan(s, stamp=float(i))
+            Rz_inv = provider(float(i))[:3, :3].T
+            b = pipe_dyn.process_scan(s @ Rz_inv.T, stamp=float(i))
+        ra = pipe_plain.result().odometry_poses
+        rb = pipe_dyn.result().odometry_poses
+        np.testing.assert_allclose(ra[-1][:3, 3], rb[-1][:3, 3], atol=0.05,
+                                   err_msg=f"fused={fused}")
