@@ -236,6 +236,24 @@ def bench_frame_budget(fetch_overhead=None):
     out["fused_step_ms"] = round(1e3 * _timeit(one_step, n=20, fetch_overhead=fo), 2)
     out["keyframe_frame_total_ms"] = round(
         out["fused_step_ms"] + out["insert_and_rebuild_ms"], 2)
+
+    # Align decomposition (the step minus prefilter): full pyramid vs fine-only.
+    from lidar_graph_slam_tpu.core.config import NdtConfig
+    from lidar_graph_slam_tpu.registration.ndt import make_ndt_matcher, ndt_align
+
+    ncfg = NdtConfig()
+    _bt, align = make_ndt_matcher(ncfg, map_capacity=cap.voxel_capacity)
+    out["align_full_ms"] = round(1e3 * _timeit(
+        lambda: align(tgt, f.points, f.mask, guess).transform,
+        n=20, fetch_overhead=fo), 2)
+    fine = tgt[1] if isinstance(tgt, tuple) else tgt
+    out["align_fine_only_ms"] = round(1e3 * _timeit(
+        lambda: ndt_align(fine, f.points, f.mask, guess,
+                          step_size=ncfg.step_size,
+                          transform_epsilon=ncfg.transform_epsilon,
+                          outlier_ratio=ncfg.outlier_ratio,
+                          max_iterations=ncfg.max_iterations).transform,
+        n=20, fetch_overhead=fo), 2)
     return out
 
 

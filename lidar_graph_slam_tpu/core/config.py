@@ -129,6 +129,12 @@ class ScanMatcherConfig:
     # perturbation exponentially. "constant_velocity" remains available for slow-motion /
     # high-overlap regimes where the wider effective basin matters more.
     initial_guess: str = "constant_pose"
+    # Point stride for the submap NDT MAP BUILD (the registration source always uses
+    # every point). The 2 m voxel Gaussians average hundreds of points per voxel even
+    # at stride 2, and the build's sort + segment reductions over window*N rows are
+    # the dominant keyframe-frame device cost at dense load (bench frame_budget).
+    # 1 = build from every ring point (most conservative).
+    map_build_stride: int = 1
     # Health gate (no reference counterpart — its only guard is hasConverged,
     # `lidar_scan_matcher.cpp:167-170`): a solver that reports convergence with fewer
     # than this fraction of source points matched is treated as a failed frame.

@@ -214,11 +214,12 @@ def make_fused_frontend(
 
     def _insert_and_rebuild(ring, slot, points, mask, pose):
         new_ring = _ring_insert(ring, slot, points, mask, pose)
-        return new_ring, build_target(*assemble_submap(new_ring))
+        return new_ring, build_target(*assemble_submap(new_ring, stride=cfg.map_build_stride))
 
     aux = {
         "init_ring": lambda: init_ring(window, n_filtered),
-        "rebuild": jax.jit(lambda ring: build_target(*assemble_submap(ring))),
+        "rebuild": jax.jit(lambda ring: build_target(
+            *assemble_submap(ring, stride=cfg.map_build_stride))),
         "insert_and_rebuild": jax.jit(_insert_and_rebuild, donate_argnames=("ring",)),
         "window": window,
     }

@@ -85,11 +85,21 @@ def ring_insert(ring: SubmapRing, slot: jax.Array, points, mask, pose) -> Submap
     )
 
 
-def assemble_submap(ring: SubmapRing):
-    """Transform every ring cloud into the map frame and flatten: [K*N, 3], [K*N]."""
+def assemble_submap(ring: SubmapRing, stride: int = 1):
+    """Transform every ring cloud into the map frame and flatten: [K*N, 3], [K*N].
+
+    `stride` > 1 subsamples each slot's points for the NDT MAP BUILD only (the
+    registration source always sees every point): a 2 m voxel Gaussian estimated from
+    every 2nd point of a 33k-point scan still averages hundreds of samples per
+    occupied voxel, while the build's dominant cost — the on-chip sort + segment
+    reductions over window*N rows — scales 1/stride (bench frame_budget: the rebuild
+    was ~35 ms of the ~59 ms keyframe-frame device budget at HDL-64 load)."""
     world = se3.transform_points(ring.poses, ring.clouds)  # [K, N, 3]
     mask = ring.masks & ring.used[:, None]
     world = jnp.where(mask[..., None], world, PAD_VALUE)
+    if stride > 1:
+        world = world[:, ::stride]
+        mask = mask[:, ::stride]
     return world.reshape(-1, 3), mask.reshape(-1)
 
 
@@ -146,7 +156,8 @@ class ScanMatcher:
         # their per-call host latency, which dominates on a tunneled accelerator).
         if self._assemble_and_build is None:
             self._assemble_and_build = jax.jit(
-                lambda ring: self._build_target(*assemble_submap(ring))
+                lambda ring: self._build_target(
+                    *assemble_submap(ring, stride=self.cfg.map_build_stride))
             )
         self.target = self._assemble_and_build(self.ring)
 
