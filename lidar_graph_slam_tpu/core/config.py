@@ -73,10 +73,6 @@ class NdtConfig:
     # density, so seeding the fine basin from every 4th point buys ~4x on the coarse
     # stage's gather+accumulate cost at no accuracy cost (the fine stage sees all points).
     coarse_subsample: int = 4
-    # Accumulation backend for the GN inner loop: None auto-selects the fused Pallas
-    # kernel on TPU (identical math to the XLA path); True/False force it — the
-    # bench's pallas-vs-XLA end-to-end A/B flips this knob.
-    use_pallas: Optional[bool] = None
 
 
 @dataclass(frozen=True)

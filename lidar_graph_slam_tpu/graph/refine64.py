@@ -10,14 +10,28 @@ scripts/diag_warm.py shows the K=4096 solver proposing norm-1.1 "steps" FROM its
 optimum that would worsen the cost 76%. No amount of f32 iteration fixes that.
 
 This module finishes the job on the host in float64: vectorized numpy linearization of
-the same factors (identical twist ordering and Jacobian series as the device solver), a
-blocked-substructuring block-tridiagonal solve (the numpy port of the device solver's
-`_tridiag_solve_blocked` — level-3 BLAS, no LAPACK band sweeps), and the same Woodbury
-identity for loop factors. A few genuinely-quadratic Gauss-Newton iterations reach the
+the same factors (identical twist ordering and Jacobian series as the device solver),
+solved by SEPARATOR-DIRECT domain decomposition (`_solve_separator_direct`, r05): loop
+endpoint rows become separators, so loop Hessian blocks land in a small dense separator
+system and the interior chain segments eliminate in one batched sweep — no Woodbury
+rank-6L bundle (which cost 618 of the 912 ms warm iteration at K=4096/L=64; the
+separator solve runs the same iteration in ~54 ms, machine-precision exact). The
+blocked-substructuring tridiagonal solve (`_tridiag_solve64`) remains for the loopless
+case and small systems. A few genuinely-quadratic Gauss-Newton iterations reach the
 true optimum, termination tests become meaningful, and the iSAM2-analog warm case
 (`graph_based_slam.cpp:373-374`: two cheap update() calls per keyframe) falls out
 naturally — at a converged graph the FIRST f64 step is at the f32-storage floor
 (~1e-4), one application of it re-centers the poses, and the solve returns.
+
+Loop factors optionally carry a REDESCENDING robust kernel (`_loop_weights`,
+Geman-McClure on the physical residual, IRLS) — the defense the reference's naive
+fitness*I6 loop noise lacks (`graph_based_slam.cpp:335-341`).
+
+Why host, not device (measured, r05): f64 linear solves do not compile on this TPU
+stack (bench `device_f64` probe: f64 add/matmul OK, f64 LU/triangular-solve fails at
+remote compile), and one warm f64 iteration (~54 ms) costs less than a single tunnel
+round trip to the chip — so the host tier produces the production poses and the jitted
+f32 LM is the escalation fallback (`solver.escalate_f64`).
 
 Division of labor mirrors the reference stack (PCL f32 front end + GTSAM f64 back end):
 the TPU runs every per-point kernel and the f32 LM descent/mesh-distributed solves; this

@@ -45,6 +45,26 @@ from lidar_graph_slam_tpu.registration import icp as icp_mod
 from lidar_graph_slam_tpu.registration import ndt as ndt_mod
 
 
+class _LazyCloud:
+    """Deferred keyframe-cloud materialization: holds the fused driver's device
+    arrays until someone needs the numpy points (loop submap, map assembly,
+    checkpoint). See `GraphBasedSLAM.add_keyframe`."""
+
+    __slots__ = ("_dev", "_mask", "_np")
+
+    def __init__(self, cloud_dev, mask_dev):
+        self._dev = cloud_dev
+        self._mask = mask_dev
+        self._np = None
+
+    def get(self) -> np.ndarray:
+        if self._np is None:
+            c, m = jax.device_get((self._dev, self._mask))
+            self._np = np.asarray(c)[np.asarray(m)].astype(np.float32)
+            self._dev = self._mask = None  # release the device buffers
+        return self._np
+
+
 def make_verify_one(cfg: GraphSlamConfig, method: str):
     """Single-candidate loop-verification program: coarse NDT pre-align -> configured
     verifier (`get_registration` factory, `graph_based_slam.cpp:77-155`; default ICP per
@@ -53,9 +73,7 @@ def make_verify_one(cfg: GraphSlamConfig, method: str):
     Returned as a plain traceable function so callers pick the batch axes:
     `GraphBasedSLAM` vmaps it over candidates with a shared source cloud;
     `parallel/multi_sequence.py` vmaps EVERY argument to batch across sequences on the
-    mesh. use_pallas=False throughout: the program always runs under vmap and the fused
-    Pallas accumulation has no batching rule; the XLA path is identical math, and loop
-    verification is off the per-frame hot path."""
+    mesh."""
     # NN grid cell: the configured correspondence distance, capped at 2 m — the NDT
     # pre-align already brings correspondences within ~a cell, so the reference's
     # 30 m default (`graph_based_slam.cpp:146`, which compensates for its identity
@@ -67,7 +85,6 @@ def make_verify_one(cfg: GraphSlamConfig, method: str):
         # guess at `:318`) unless the FPFH+RANSAC global init succeeded.
         pre = ndt_mod.ndt_align(
             pre_map, src_p, src_m, guess, step_size=0.4, max_iterations=16,
-            use_pallas=False,
         )
         # Stage 2: refine with the configured verifier. After the coarse pre-align
         # correspondences sit within ~a cell, so the 7-cell neighborhood suffices
@@ -89,7 +106,6 @@ def make_verify_one(cfg: GraphSlamConfig, method: str):
                 max_correspondence_distance=cfg.gicp.max_correspondence_distance,
                 transform_epsilon=max(cfg.gicp.transform_epsilon, 1e-7),
                 max_iterations=cfg.gicp.max_iterations,
-                use_pallas=False,
             )
         else:  # NDT
             res = ndt_mod.ndt_align(
@@ -98,7 +114,6 @@ def make_verify_one(cfg: GraphSlamConfig, method: str):
                 transform_epsilon=cfg.ndt.transform_epsilon,
                 outlier_ratio=cfg.ndt.outlier_ratio,
                 max_iterations=cfg.ndt.max_iterations,
-                use_pallas=False,
             )
         # The decision quantity is always the PCL-style fitness score (`:320-328`),
         # computed uniformly by `fitness_score` so the 0.3 gate means the same thing
@@ -157,7 +172,7 @@ class GraphBasedSLAM:
         self.graph = solver.init_graph(
             capacity.max_keyframes, capacity.max_loop_factors, cfg.odom_noise_var
         )
-        self.kf_clouds: list[np.ndarray] = []       # [n_i, 3] sensor-frame clouds
+        self.kf_clouds: list = []  # [n_i, 3] numpy sensor-frame clouds or _LazyCloud
         self.kf_accum_dist: list[float] = []
         self.kf_stamps: list[Optional[float]] = []  # sensor stamps (None if unstamped)
         self.kf_front_poses: list[np.ndarray] = []  # front-end (odometry) poses
@@ -185,6 +200,9 @@ class GraphBasedSLAM:
         self._solve_thread = None
         self._solve_result = None
         self._solve_epoch = 0
+        # Keyframe indices whose clouds are still device-side (_LazyCloud): drained
+        # one per frame once the async copies have had time to land.
+        self._lazy_pending: list = []
         # Capacity-overflow flags, surfaced like `VoxelGrid.overflow`: inserts past the
         # fixed device capacities are refused (never silently overwritten) and flagged.
         self.keyframe_overflow = False
@@ -243,15 +261,25 @@ class GraphBasedSLAM:
         self._host_odoms.append(odom)
         if self.n_keyframes == 0:
             self._host_prior = np.asarray(pose, np.float64)
-        cloud = np.asarray(kf["cloud"])[np.asarray(kf["cloud_mask"])]
         if self.cloud_store is not None:
+            cloud = np.asarray(kf["cloud"])[np.asarray(kf["cloud_mask"])]
             self.cloud_store.add(
                 self.n_keyframes,
                 cloud.astype(np.float32) if self.cloud_store.owns(self.n_keyframes)
                 else None,
             )
-        else:
+        elif isinstance(kf["cloud"], np.ndarray):
+            cloud = np.asarray(kf["cloud"])[np.asarray(kf["cloud_mask"])]
             self.kf_clouds.append(cloud.astype(np.float32))
+        else:
+            # DEVICE cloud handed over by the fused driver: defer the host copy off
+            # the frame-critical path. The driver started copy_to_host_async at
+            # dispatch, so by the time `drain_lazy_clouds` (a couple frames later) or
+            # a loop attempt materializes it, the bytes are already host-side and the
+            # device_get costs ~nothing — the per-frame consume fetch shrinks to
+            # scalars (the 0.4 MB payload was riding the blocking fetch every frame).
+            self.kf_clouds.append(_LazyCloud(kf["cloud"], kf["cloud_mask"]))
+            self._lazy_pending.append(self.n_keyframes)
         self.kf_accum_dist.append(float(kf["accum_distance"]))
         stamp = kf.get("stamp") if hasattr(kf, "get") else None
         self.kf_stamps.append(None if stamp is None else float(stamp))
@@ -335,15 +363,32 @@ class GraphBasedSLAM:
         poses = self._poses_host[lo:hi]
         chunks = []
         for k, T in zip(range(lo, hi), poses):
-            pts = self.kf_clouds[k]
+            pts = self._cloud(k)
             chunks.append(pts @ T[:3, :3].T + T[:3, 3])
         return np.concatenate(chunks).astype(np.float32)
 
     def _cloud(self, k: int) -> np.ndarray:
-        """Keyframe k's sensor/base-frame cloud (allgathered when sharded — SPMD)."""
+        """Keyframe k's sensor/base-frame cloud (allgathered when sharded — SPMD;
+        materialized from the device on first access when lazily stored)."""
         if self.cloud_store is not None:
             return self.cloud_store.get_cloud(k)
-        return self.kf_clouds[k]
+        c = self.kf_clouds[k]
+        if isinstance(c, _LazyCloud):
+            c = c.get()
+            self.kf_clouds[k] = c
+        return c
+
+    def drain_lazy_clouds(self, max_items: int = 1, min_age: int = 2) -> None:
+        """Materialize up to `max_items` pending device-side keyframe clouds that are
+        at least `min_age` keyframes old — by then their async device->host copies
+        (started at dispatch) have landed, so the device_get is a local read. Called
+        once per frame by the pipeline; bounds device-buffer residency to a few
+        keyframes without ever putting the payload on the frame-critical path."""
+        drained = 0
+        while (self._lazy_pending and drained < max_items
+               and self._lazy_pending[0] <= self.n_keyframes - min_age):
+            self._cloud(self._lazy_pending.pop(0))
+            drained += 1
 
     def _build_verify_fn(self):
         """One jitted program for the whole verification batch: coarse NDT pre-align ->
@@ -738,6 +783,7 @@ class GraphBasedSLAM:
         the reference's concurrent back-end architecture without its mutex race
         (SURVEY.md §5.2). Returns True the frame a solve's corrections were applied."""
         closed_before = self._solve_epoch
+        self.drain_lazy_clouds()
         if self.cfg.async_backend:
             self.poll_async()
         period = self.cfg.loop_search_period_frames
@@ -782,7 +828,7 @@ class GraphBasedSLAM:
             pts = self.cloud_store.assemble_submap(0, self.n_keyframes, poses)
         else:
             chunks = [
-                self.kf_clouds[k] @ poses[k][:3, :3].T + poses[k][:3, 3]
+                self._cloud(k) @ poses[k][:3, :3].T + poses[k][:3, 3]
                 for k in range(self.n_keyframes)
             ]
             pts = np.concatenate(chunks).astype(np.float32)

@@ -20,12 +20,15 @@ chosen for TPU structure instead of the Bayes tree:
 All factors use the twist ordering (omega, v), so the reference's noise vector
 sigma^2 = [1e-6 x3, 1e-8, 1e-8, 1e-6] (`graph_based_slam.cpp:67-69`) maps verbatim.
 
-PRECISION (r04): this jitted f32 solver is the DESCENT tier. At automotive scale the
-f32 gradient at the optimum is storage-rounding noise (measured: scripts/diag_warm.py),
-so `solve_incremental` pairs it with the host float64 tier (`graph/refine64.py`) —
-mirroring the reference's own split of f32 PCL registration + f64 GTSAM optimization.
-Use `solve_incremental` (or `GraphBasedSLAM`, which wraps it with host-mirrored state)
-as the solve entry point; `optimize` alone converges only to the f32 floor.
+PRECISION (r04/r05): this jitted f32 solver is the ESCALATION FALLBACK tier. At
+automotive scale the f32 gradient at the optimum is storage-rounding noise (measured:
+scripts/diag_warm.py), and f64 linalg does not compile on this TPU stack (bench
+`device_f64` probe) — so the host float64 separator-direct tier (`graph/refine64.py`)
+produces the production poses and this LM descends only when f64 GN stalls
+(`escalate_f64`). Mirrors the reference's own split of f32 PCL registration + f64
+GTSAM optimization. Use `solve_incremental` (or `GraphBasedSLAM`, which wraps it with
+host-mirrored state) as the solve entry point; `optimize` alone converges only to the
+f32 floor.
 """
 
 from __future__ import annotations

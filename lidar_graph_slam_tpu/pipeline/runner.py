@@ -167,13 +167,14 @@ class SlamPipeline:
 
         frame_idx, t0, stamp, out = item
         t1 = time.perf_counter()
-        # ONE batched fetch for scalars AND the keyframe payload: blocking on a result
-        # pays the host-link's completion-notification latency once per device_get, which
-        # dwarfs the payload's extra bytes on keyframe-dense streams (automotive: nearly
-        # every frame keyframes at 1 m displacement).
-        pose, converged, is_kf, fitness, iters, kf_id, accum, cloud, mask = jax.device_get(
+        # ONE batched fetch for the SCALARS only. The keyframe payload (cloud+mask,
+        # ~0.4 MB) stays device-side: the ring insert consumes the device arrays
+        # directly, and the back end stores a lazy reference materialized a couple of
+        # frames later (`GraphBasedSLAM.drain_lazy_clouds`) when its async copy has
+        # landed — the blocking per-frame fetch no longer carries the payload bytes.
+        pose, converged, is_kf, fitness, iters, kf_id, accum = jax.device_get(
             (out.pose, out.converged, out.is_keyframe, out.fitness, out.iterations,
-             out.keyframe_id, out.accum_distance, out.kf_cloud, out.kf_mask)
+             out.keyframe_id, out.accum_distance)
         )
         t2 = time.perf_counter()
         pose = np.asarray(pose)
@@ -203,8 +204,8 @@ class SlamPipeline:
                     id=int(kf_id),
                     pose=pose,
                     accum_distance=float(accum),
-                    cloud=np.asarray(cloud),
-                    cloud_mask=np.asarray(mask),
+                    cloud=out.kf_cloud,       # device arrays — materialized lazily
+                    cloud_mask=out.kf_mask,
                     frame_index=frame_idx,
                     stamp=stamp,
                 )
@@ -212,6 +213,8 @@ class SlamPipeline:
             self.kf_frame_indices.append(frame_idx)
         if self.cfg.enable_loop_closure:
             self.back.on_frame()
+        else:
+            self.back.drain_lazy_clouds()
         self._emit_loop_attempts(frame_idx)
         t3 = time.perf_counter()
 

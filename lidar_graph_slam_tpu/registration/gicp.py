@@ -107,7 +107,7 @@ def build_gicp_target(points, mask, cell_size, k: int = 20) -> GicpTarget:
 
 
 @partial(jax.jit, static_argnames=("max_iterations", "k", "bucket_cap", "reciprocal",
-                                   "use_pallas"))
+))
 def gicp_align(
     target: GicpTarget,
     source_points: jax.Array,
@@ -121,7 +121,6 @@ def gicp_align(
     bucket_cap: int = 32,
     reciprocal: bool = False,
     source_grid: HashGrid | None = None,
-    use_pallas: bool | None = None,
 ) -> RegistrationResult:
     """Plane-to-plane GICP: minimize sum e^T (C_q + R C_p R^T)^-1 e over SE(3).
 
@@ -132,10 +131,6 @@ def gicp_align(
     once from the untransformed source (`source_grid`, required when reciprocal)."""
     corr2 = max_correspondence_distance * max_correspondence_distance
     n = source_points.shape[0]
-    if use_pallas is None:
-        # Auto-select; pass False when running under vmap (no Pallas batching rule —
-        # the batched loop verifier does this).
-        use_pallas = jax.devices()[0].platform != "cpu" and n % 128 == 0
     if reciprocal and source_grid is None:
         raise ValueError("reciprocal=True requires source_grid")
 
@@ -157,12 +152,9 @@ def gicp_align(
         Cp_rot = jnp.einsum("ij,njk,lk->nil", R, source_covs, R)
         M = _inv3x3(Cq + Cp_rot)
         e = p - q
-        # Same fused kernel as NDT: with d2 = 0 the Magnusson weight degenerates to the
-        # match mask, leaving the plain GICP normal equations.
-        if use_pallas:
-            H, g, _sw, n_hit = pallas_kernels.ndt_accumulate(e, M, p, matched, 0.0, 1.0)
-        else:
-            H, g, _sw, n_hit = pallas_kernels.ndt_accumulate_xla(e, M, p, matched, 0.0, 1.0)
+        # Same accumulation as NDT: with d2 = 0 the Magnusson weight degenerates to
+        # the match mask, leaving the plain GICP normal equations.
+        H, g, _sw, n_hit = pallas_kernels.ndt_accumulate_xla(e, M, p, matched, 0.0, 1.0)
         n_inl = n_hit.astype(jnp.int32)
 
         delta = solve_damped(H, g, jnp.asarray(1e-6, H.dtype))

@@ -49,7 +49,7 @@ def magnusson_constants(resolution: float, outlier_ratio: float):
 
 
 @partial(jax.jit, static_argnames=(
-    "max_iterations", "polish_iterations", "use_pallas", "line_search"))
+    "max_iterations", "polish_iterations", "line_search"))
 def ndt_align(
     vmap: NdtVoxelMap,
     source_points: jax.Array,
@@ -60,14 +60,9 @@ def ndt_align(
     outlier_ratio: float = 0.55,
     max_iterations: int = 64,
     polish_iterations: int = 2,
-    use_pallas: bool | None = None,
     line_search: bool = False,
 ) -> RegistrationResult:
     """Align a masked source cloud to an NDT voxel map. Returns source->map transform.
-
-    `use_pallas=None` auto-selects the fused Pallas accumulation on TPU; pass False to
-    force the identical-math XLA path — required when this runs under `vmap` (the Pallas
-    kernel has no batching rule; the batched loop verifier does this).
 
     `line_search=True` adds a backtracking step-length search — the stand-in for
     ndt_omp's Newton + More-Thuente search (`lidar_scan_matcher.cpp:65-70`): each GN
@@ -81,13 +76,7 @@ def ndt_align(
     priors)."""
     d1, d2 = magnusson_constants(vmap.leaf, outlier_ratio)
     w_scale = -d1 * d2  # > 0: d1 < 0 by construction
-
-    # The fused Pallas accumulation runs on TPU backends; CPU (tests, fallback) uses the
-    # identical-math XLA path. The correspondence count N*7 is lane-aligned for all
-    # power-of-two capacities >= 128.
     n = source_points.shape[0]
-    if use_pallas is None:
-        use_pallas = jax.devices()[0].platform != "cpu" and (n * 7) % 128 == 0
 
     def body(carry):
         T, done, iters, _fitness, _inliers = carry
@@ -98,18 +87,11 @@ def ndt_align(
 
         K = n * 7
         p_rep = jnp.broadcast_to(p[:, None, :], (n, 7, 3))
-        if use_pallas:
-            H, g, _sum_w, n_hit = pallas_kernels.ndt_accumulate(
-                e.reshape(K, 3), icovs.reshape(K, 3, 3), p_rep.reshape(K, 3),
-                valid.reshape(K), d2, w_scale,
-            )
-            n_inliers = n_hit.astype(jnp.int32)
-        else:
-            H, g, _sum_w, n_hit = pallas_kernels.ndt_accumulate_xla(
-                e.reshape(K, 3), icovs.reshape(K, 3, 3), p_rep.reshape(K, 3),
-                valid.reshape(K), d2, w_scale,
-            )
-            n_inliers = n_hit.astype(jnp.int32)
+        H, g, _sum_w, n_hit = pallas_kernels.ndt_accumulate_xla(
+            e.reshape(K, 3), icovs.reshape(K, 3, 3), p_rep.reshape(K, 3),
+            valid.reshape(K), d2, w_scale,
+        )
+        n_inliers = n_hit.astype(jnp.int32)
 
         delta = solve_damped(H, g, jnp.asarray(1e-6, H.dtype))
         delta = cap_step(delta, step_size)
@@ -223,7 +205,6 @@ def make_ndt_matcher(cfg: NdtConfig, map_capacity: int):
                 outlier_ratio=cfg.outlier_ratio,
                 max_iterations=cfg.coarse_iterations,
                 polish_iterations=0,
-                use_pallas=cfg.use_pallas,
             )
             init_T = pre.transform
         else:
@@ -237,7 +218,6 @@ def make_ndt_matcher(cfg: NdtConfig, map_capacity: int):
             transform_epsilon=cfg.transform_epsilon,
             outlier_ratio=cfg.outlier_ratio,
             max_iterations=cfg.max_iterations,
-            use_pallas=cfg.use_pallas,
         )
 
     return build_target, align

@@ -31,10 +31,12 @@ def save_pipeline(pipe: SlamPipeline, path: str) -> None:
     g = back.graph
     n_kf = back.n_keyframes
 
-    # Keyframe clouds are ragged host-side; store concatenated + offsets.
+    # Keyframe clouds are ragged host-side; store concatenated + offsets
+    # (back._cloud materializes any still-lazy device-side clouds).
     if n_kf:
-        cloud_cat = np.concatenate(back.kf_clouds)
-        cloud_offsets = np.cumsum([0] + [c.shape[0] for c in back.kf_clouds])
+        clouds = [back._cloud(k) for k in range(n_kf)]
+        cloud_cat = np.concatenate(clouds)
+        cloud_offsets = np.cumsum([0] + [c.shape[0] for c in clouds])
     else:
         cloud_cat = np.zeros((0, 3), np.float32)
         cloud_offsets = np.zeros((1,), np.int64)
