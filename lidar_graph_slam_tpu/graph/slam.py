@@ -199,6 +199,14 @@ class GraphBasedSLAM:
         self._pending_verify = None
         self._solve_thread = None
         self._solve_result = None
+        self._solve_error: Optional[BaseException] = None
+        # Cross-process collectives (the sharded cloud store's allgathers, any
+        # process-spanning mesh program) must be issued in LOCKSTEP by every process;
+        # the async back end gates dispatch on worker-thread wall-clock liveness,
+        # which diverges across processes (one host's solve finishes before its
+        # cadence tick, another's doesn't -> mismatched collectives deadlock). Force
+        # the deterministic synchronous path whenever this is a multi-process run.
+        self.async_enabled = cfg.async_backend and jax.process_count() == 1
         self._solve_epoch = 0
         # Keyframe indices whose clouds are still device-side (_LazyCloud): drained
         # one per frame once the async copies have had time to land.
@@ -665,23 +673,8 @@ class GraphBasedSLAM:
         else:
             gb = g
         view = self._host_view()
-
-        def device_lm(poses64):
-            # The mesh-distributed (or single-chip) jitted f32 LM on the bucketed graph.
-            gd = gb.replace(poses=gb.poses.at[: poses64.shape[0]].set(
-                jnp.asarray(poses64, jnp.float32)))
-            if self.mesh is not None:
-                from lidar_graph_slam_tpu.parallel.distributed import mesh_optimize
-
-                gd = mesh_optimize(
-                    self.mesh, gd, max_iterations=30, solver=self.backend_solver
-                )
-            else:
-                gd = solver.optimize(gd, max_iterations=30)
-            return np.asarray(
-                jax.device_get(gd.poses), dtype=np.float64)[: poses64.shape[0]]
-
-        poses64, info = solver.escalate_f64(view, device_lm, tail_iterations=6)
+        poses64, info = solver.escalate_f64(
+            view, self._make_device_lm(gb), tail_iterations=6)
         k_act = poses64.shape[0]
         new_poses = g.poses.at[:k_act].set(jnp.asarray(poses64, jnp.float32))
         self.graph = g.replace(poses=new_poses)
@@ -689,6 +682,27 @@ class GraphBasedSLAM:
         p32 = poses64.astype(np.float32)
         self._poses_host = [p32[k] for k in range(k_act)]
         self._solve_epoch += 1
+
+    def _make_device_lm(self, gb):
+        """Escalation-ladder device callback: the mesh-distributed (or single-chip)
+        jitted f32 LM on the bucketed graph `gb`. Shared by the synchronous
+        (`_run_optimize`) and threaded (`_start_solve_async`) paths so the fallback
+        cannot drift between them."""
+
+        def device_lm(poses64):
+            gd = gb.replace(poses=gb.poses.at[: poses64.shape[0]].set(
+                jnp.asarray(poses64, jnp.float32)))
+            if self.mesh is not None:
+                from lidar_graph_slam_tpu.parallel.distributed import mesh_optimize
+
+                gd = mesh_optimize(
+                    self.mesh, gd, max_iterations=30, solver=self.backend_solver)
+            else:
+                gd = solver.optimize(gd, max_iterations=30)
+            return np.asarray(
+                jax.device_get(gd.poses), dtype=np.float64)[: poses64.shape[0]]
+
+        return device_lm
 
     # -- concurrent back end (async verification + threaded solve) ----------------------
 
@@ -709,23 +723,19 @@ class GraphBasedSLAM:
         g = self.graph
         gb = g if B >= g.poses.shape[0] else g.replace(
             poses=g.poses[:B], pose_mask=g.pose_mask[:B], odom_meas=g.odom_meas[:B])
-
-        def device_lm(poses64):
-            gd = gb.replace(poses=gb.poses.at[: poses64.shape[0]].set(
-                jnp.asarray(poses64, jnp.float32)))
-            if self.mesh is not None:
-                from lidar_graph_slam_tpu.parallel.distributed import mesh_optimize
-
-                gd = mesh_optimize(
-                    self.mesh, gd, max_iterations=30, solver=self.backend_solver)
-            else:
-                gd = solver.optimize(gd, max_iterations=30)
-            return np.asarray(
-                jax.device_get(gd.poses), dtype=np.float64)[: poses64.shape[0]]
+        device_lm = self._make_device_lm(gb)
 
         def work():
-            self._solve_result = solver.escalate_f64(view, device_lm, tail_iterations=6)
+            # Capture, don't swallow: a bare thread exception would leave
+            # `_solve_result` None and crash the harvest with an unrelated
+            # TypeError; `_finish_solve` re-raises this with the real traceback.
+            try:
+                self._solve_result = solver.escalate_f64(
+                    view, device_lm, tail_iterations=6)
+            except BaseException as e:  # noqa: BLE001 — relayed, not suppressed
+                self._solve_error = e
 
+        self._solve_error = None
         self._solve_thread = threading.Thread(target=work, daemon=True)
         self._solve_thread.start()
 
@@ -734,6 +744,9 @@ class GraphBasedSLAM:
         keyframes, composed odometry re-chaining for keyframes appended while it ran."""
         self._solve_thread.join()
         self._solve_thread = None
+        if self._solve_error is not None:
+            err, self._solve_error = self._solve_error, None
+            raise err
         poses64, _info = self._solve_result
         self._solve_result = None
         p32 = poses64.astype(np.float32)
@@ -778,13 +791,15 @@ class GraphBasedSLAM:
         (our deterministic analog of the reference's `rate`-Hz wall timer `:71-74`;
         period <= 0 derives it from `rate` at the nominal 10 Hz sensor).
 
-        With `async_backend` (default) the check only DISPATCHES verification; factors
+        With `async_backend` (default; forced off in multi-process runs, where the
+        thread-state dispatch gates would desynchronize cross-host collectives — see
+        `__init__`) the check only DISPATCHES verification; factors
         land `loop_verify_lag_frames` later and the solve overlaps subsequent frames —
         the reference's concurrent back-end architecture without its mutex race
         (SURVEY.md §5.2). Returns True the frame a solve's corrections were applied."""
         closed_before = self._solve_epoch
         self.drain_lazy_clouds()
-        if self.cfg.async_backend:
+        if self.async_enabled:
             self.poll_async()
         period = self.cfg.loop_search_period_frames
         if period <= 0:
@@ -792,7 +807,7 @@ class GraphBasedSLAM:
         self._frames_since_loop_check += 1
         if self._frames_since_loop_check >= period:
             self._frames_since_loop_check = 0
-            if not self.cfg.async_backend:
+            if not self.async_enabled:
                 return self.try_close_loop()
             # Skip the tick while the previous attempt is still in flight — the
             # reference's timer likewise waits on its optimize mutex (`cpp:242`).

@@ -152,6 +152,14 @@ class ScanPrefetcher:
             )
             if idx == -2:
                 return
+            if int(n.value) < 0:
+                # The C reader returns n=-1 when fopen/fread fails; yielding it
+                # would slice `out[:-1]` — a capacity-1 block of UNINITIALIZED
+                # memory fed to the pipeline as a real scan. Match the
+                # non-prefetch path, which raises on unreadable files.
+                raise IOError(
+                    f"native prefetcher failed to read scan {int(idx)} "
+                    f"({self.paths[int(idx)] if 0 <= int(idx) < len(self.paths) else '?'})")
             yield out, int(n.value)
 
     def close(self):

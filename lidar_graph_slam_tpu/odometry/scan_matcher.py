@@ -94,6 +94,10 @@ def assemble_submap(ring: SubmapRing, stride: int = 1):
     occupied voxel, while the build's dominant cost — the on-chip sort + segment
     reductions over window*N rows — scales 1/stride (bench frame_budget: the rebuild
     was ~35 ms of the ~59 ms keyframe-frame device budget at HDL-64 load)."""
+    if stride < 1:
+        # A clear config error beats jit tracing dying on `[::0]` (stride 0) or a
+        # negative stride silently reversing the point order.
+        raise ValueError(f"map_build_stride must be >= 1, got {stride}")
     world = se3.transform_points(ring.poses, ring.clouds)  # [K, N, 3]
     mask = ring.masks & ring.used[:, None]
     world = jnp.where(mask[..., None], world, PAD_VALUE)

@@ -79,8 +79,9 @@ def main():
     ic = icovs.reshape(n * 7, 3, 3)
     pr = jnp.broadcast_to(p[:, None, :], (n, 7, 3)).reshape(n * 7, 3)
     hm = (hit & cloud.mask[:, None]).reshape(n * 7)
-    t_acc = timeit(lambda: pallas_kernels.ndt_accumulate(e, ic, pr, hm, 1.0, 1.0))
-    print(f"pallas ndt_accumulate (114k corr): {t_acc:.3f} ms")
+    acc = jax.jit(pallas_kernels.ndt_accumulate_xla)
+    t_acc = timeit(lambda: acc(e, ic, pr, hm, 1.0, 1.0))
+    print(f"ndt_accumulate_xla (114k corr): {t_acc:.3f} ms")
 
     # transform_points alone
     tp = jax.jit(se3.transform_points)
@@ -107,7 +108,7 @@ def main():
     kk = e.shape[0]
     bytes_moved = kk * (12 + 36 + 12 + 1)
     achieved = bytes_moved / (t_acc * 1e-3) / 1e9
-    print(f"roofline: ndt_accumulate {achieved:.1f} GB/s vs streaming peak {peak_gbs:.1f} GB/s "
+    print(f"roofline: ndt_accumulate_xla {achieved:.1f} GB/s vs streaming peak {peak_gbs:.1f} GB/s "
           f"-> {achieved / peak_gbs:.1%} of HBM roofline "
           f"({kk * 220 / (t_acc * 1e-3) / 1e9:.1f} GFLOP/s)")
 

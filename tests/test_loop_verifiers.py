@@ -133,3 +133,37 @@ def test_async_backend_matches_sync():
     assert sum(1 for l in back_a.loop_log if l["accepted"]) == 1
     np.testing.assert_allclose(
         back_a.optimized_poses(), back_s.optimized_poses(), atol=1e-4)
+
+
+def test_async_backend_forced_off_multiprocess(monkeypatch):
+    """Multi-process runs must use the deterministic synchronous back end: the async
+    path gates cross-process collective dispatch (sharded cloud-store allgathers,
+    mesh programs) on worker-thread wall-clock liveness, which diverges between
+    processes and would deadlock the collectives."""
+    import jax
+
+    from lidar_graph_slam_tpu.core.config import CapacityConfig, GraphSlamConfig
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    back = GraphBasedSLAM(GraphSlamConfig(async_backend=True), CapacityConfig())
+    assert back.async_enabled is False
+    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    back = GraphBasedSLAM(GraphSlamConfig(async_backend=True), CapacityConfig())
+    assert back.async_enabled is True
+
+
+def test_solve_thread_error_surfaces(monkeypatch):
+    """An exception inside the threaded solve must re-raise at harvest with its real
+    traceback, not crash later as an unrelated NoneType unpack."""
+    from lidar_graph_slam_tpu.graph import slam as slam_mod
+
+    back, _ = build_loop_backend("ICP")
+
+    def boom(view, device_lm, tail_iterations=6):
+        raise RuntimeError("solver exploded")
+
+    monkeypatch.setattr(slam_mod.solver, "escalate_f64", boom)
+    back._start_solve_async()
+    with pytest.raises(RuntimeError, match="solver exploded"):
+        back._finish_solve()
+    assert back._solve_thread is None and back._solve_error is None

@@ -64,3 +64,15 @@ def test_host_voxel_downsample_matches_numpy(rng):
     a = np.array(sorted(map(tuple, np.round(got, 3))))
     b = np.array(sorted(map(tuple, np.round(oracle, 3))))
     np.testing.assert_allclose(a, b, atol=1e-2)
+
+
+def test_prefetcher_raises_on_unreadable_file(tmp_path, rng):
+    """An unreadable scan must RAISE, never yield n=-1 (slicing out[:-1] would feed
+    capacity-1 rows of uninitialized memory to the pipeline as a real scan)."""
+    paths = make_bins(tmp_path, rng, n_files=2)
+    paths.insert(1, str(tmp_path / "missing.bin"))  # never created
+    pf = native.ScanPrefetcher(paths, capacity=2048, depth=2)
+    with pytest.raises(OSError):
+        for _pts, n in pf:
+            assert n >= 0
+    pf.close()

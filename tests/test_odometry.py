@@ -135,3 +135,13 @@ def test_dynamic_extrinsic_provider():
         rb = pipe_dyn.result().odometry_poses
         np.testing.assert_allclose(ra[-1][:3, 3], rb[-1][:3, 3], atol=0.05,
                                    err_msg=f"fused={fused}")
+
+
+def test_map_build_stride_validated():
+    import pytest
+
+    from lidar_graph_slam_tpu.odometry.scan_matcher import assemble_submap, init_ring
+
+    ring = init_ring(2, 16)
+    with pytest.raises(ValueError, match="map_build_stride"):
+        assemble_submap(ring, stride=0)

@@ -1,10 +1,12 @@
-"""Robust (Huber) loop factors: a fitness-passing-but-WRONG loop factor must not
-corrupt the trajectory, while genuine factors keep their full correcting power.
+"""Robust loop factors: a fitness-passing-but-WRONG loop factor must not corrupt
+the trajectory, while genuine factors keep their full correcting power.
 
 The reference has no robustness at all — its loop noise is the naive fitness*I6
 (`graph_based_slam/src/graph_based_slam.cpp:335-341`), so one bad ICP verification
 below the 0.3 gate rewrites the whole map. The engine's f64 solve tier applies a
-robust kernel on the whitened 6-dof loop residual (IRLS, `refine64._loop_weights`);
+REDESCENDING Geman-McClure kernel on the PHYSICAL 6-dof loop residual (rotation
+scaled at 5 m/rad; IRLS, `refine64._loop_weights` — Huber's linear tail was
+measured insufficient: it keeps a constant pull toward the poison);
 `loop_robust_delta=0` restores exact reference parity.
 """
 
@@ -52,7 +54,7 @@ def _ate(poses, gt):
         np.sum((poses[:, :3, 3] - gt[:, :3, 3]) ** 2, axis=-1))))
 
 
-def test_poisoned_loop_rejected_by_huber():
+def test_poisoned_loop_rejected_by_robust_kernel():
     """An adversarial factor (great fitness, wrong transform) drags the naive solve
     but is neutralized by the robust kernel."""
     results = {}
@@ -70,7 +72,7 @@ def test_poisoned_loop_rejected_by_huber():
     assert results[5.0] < 0.05 * results[0.0], results
 
 
-def test_genuine_loop_keeps_full_power_under_huber():
+def test_genuine_loop_keeps_full_power_under_robust_kernel():
     """A correct loop factor on a drifted chain must correct the drift equally well
     with the robust kernel active (IRLS weight recovers to ~1 at the optimum)."""
     rng = np.random.default_rng(3)
@@ -88,7 +90,8 @@ def test_genuine_loop_keeps_full_power_under_huber():
         poses, info = refine64.refine(view, max_iterations=25)
         ates[delta] = _ate(poses, gt)
         assert ates[delta] < 0.5 * ate_before, (delta, ates[delta], ate_before)
-    # Huber must not cost correcting power on genuine loops (within 20%).
+    # The redescending kernel must not cost correcting power on genuine loops
+    # (within 20%): IRLS recovers w -> 1 as a genuine residual closes.
     assert ates[5.0] <= ates[0.0] * 1.2 + 1e-3, ates
 
 
