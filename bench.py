@@ -123,7 +123,9 @@ def _scan_match_fixture(occlusion=True):
 
 
 def bench_scan_match(cfg=None, occlusion=True, fetch_overhead=None):
-    """NDT scan-to-submap alignment frames/s, fetch-synced steady state."""
+    """NDT scan-to-submap alignment (frames/s, mean align iterations), fetch-synced
+    steady state."""
+    import jax
     import jax.numpy as jnp
 
     from lidar_graph_slam_tpu.core.config import NdtConfig
@@ -139,12 +141,19 @@ def bench_scan_match(cfg=None, occlusion=True, fetch_overhead=None):
     _fetch(r.transform)
     if fetch_overhead is None:
         fetch_overhead = _measure_fetch_overhead()
+    iters = []
     t0 = time.perf_counter()
     for cloud, guess in zip(scans, guesses):
         r = align(target, cloud.points, cloud.mask, guess)
+        iters.append(r.iterations)
     _fetch(r.transform)
     dt = time.perf_counter() - t0 - fetch_overhead
-    return len(scans) / max(dt, 1e-9)
+    fps = len(scans) / max(dt, 1e-9)
+    # Mean align iterations (fetched AFTER the timed loop): the data-dependent
+    # while_loop count is what the pyramid A/B actually trades — the coarse level
+    # drops fine iterations ~14 -> ~2 on this course (r05 diagnostic).
+    mean_iters = float(np.mean([int(x) for x in jax.device_get(iters)])) if iters else 0.0
+    return fps, mean_iters
 
 
 def bench_scan_match_ab(fetch_overhead=None):
@@ -155,11 +164,13 @@ def bench_scan_match_ab(fetch_overhead=None):
 
     base = NdtConfig()
     out = {}
-    out["no_pyramid_fps"] = round(bench_scan_match(
+    fps, it = bench_scan_match(
         dataclasses.replace(base, coarse_resolution=0.0),
-        fetch_overhead=fetch_overhead), 1)
-    out["no_occlusion_fps"] = round(bench_scan_match(
-        base, occlusion=False, fetch_overhead=fetch_overhead), 1)
+        fetch_overhead=fetch_overhead)
+    out["no_pyramid_fps"] = round(fps, 1)
+    out["no_pyramid_mean_iters"] = round(it, 1)
+    fps, _ = bench_scan_match(base, occlusion=False, fetch_overhead=fetch_overhead)
+    out["no_occlusion_fps"] = round(fps, 1)
     return out
 
 
@@ -223,6 +234,14 @@ def bench_frame_budget(fetch_overhead=None):
     eye3 = jnp.eye(3, dtype=jnp.float32)
     eye4 = jnp.eye(4, dtype=jnp.float32)
     false = jnp.asarray(False)
+    # Seed the state at the scan's true pose — STEADY-STATE conditions (pose track on,
+    # constant-pose guess lands ~0 m from the optimum, align converges in ~1-2
+    # iterations like a real mid-run frame). An unseeded state leaves the pose at
+    # identity, 35 m from the submap: the align burns its full iteration budget
+    # without converging and the "budget" reads the never-converge worst case
+    # (measured 748 ms vs 36 ms seeded — the r05 diagnostic that motivated this).
+    st = st.replace(pose=guess + 0.0, last_kf_pose=guess + 0.0,
+                    n_keyframes=jnp.int32(1))
     st, o = step(st, raw, tgt, eye3, false, eye4, false)
 
     def one_step():
@@ -609,9 +628,11 @@ def main():
     enable_compilation_cache()
 
     fo = _measure_fetch_overhead()
-    fps = _retry(lambda: bench_scan_match(fetch_overhead=fo), "scan_match")
+    fps, headline_iters = _retry(lambda: bench_scan_match(fetch_overhead=fo),
+                                 "scan_match")
     extra = {
         "fetch_overhead_ms": round(fo * 1e3, 2),
+        "headline_mean_iters": round(headline_iters, 1),
         "scan_match_ab": _retry(lambda: bench_scan_match_ab(fetch_overhead=fo),
                                 "scan_match_ab"),
         "pose_graph_solve_ms": _retry(bench_pose_graph, "pose_graph"),
