@@ -521,9 +521,22 @@ def bench_e2e_dense(n_frames=40):
     round trip; the submap ring lags 2 frames). `defaults_fps` is the untouched
     accuracy-first default config on the same scans — both recorded so the tuning is
     visible, not hidden. Frame-wall decomposition (bench frame_budget + driver-stage
-    p50s): the per-frame wall at depth 1 is device compute (~59 ms: step 24 +
-    keyframe rebuild 35) PLUS one blocking fetch round trip (25-130 ms session
-    jitter) that depth 1 cannot hide."""
+    p50s): the per-frame wall is ~entirely the fetch-wait for the frame's results
+    (r05 stage p50s on the tunnel: dispatch 3 ms, fetch-wait 128-173 ms, backend
+    2 ms vs ~70 ms device compute: step ~36 + keyframe rebuild ~34) — an end-to-end
+    tunnel-latency floor, not bytes and not device time.
+
+    Two optimizations were TRIED AND REJECTED against this floor (r05, measured on
+    the real chip; recorded here so they are not rediscovered):
+      * int16@5mm upload quantization (halves the 1.5 MB/frame raw-scan upload):
+        ZERO e2e change (5.64 vs 5.70 fps defaults; tuned point equal) even though a
+        standalone serial upload+sync microbenchmark suggested ~17 MB/s link — the
+        driver's async dispatch already overlaps the upload, and on real (PCIe) TPU
+        hosts the upload was never the bottleneck. Deleted per the no-unmeasured-
+        complexity rule.
+      * deeper pipelining (depth sweep 2/4/6 at stride 2): 7.2 -> 8.4 -> 9.3 fps but
+        keyframe-lagged submaps cost real tracking accuracy (ATE 0.89 -> 1.14 ->
+        2.44 m on the 40-frame canyon course) — past depth 2 the trade is bad."""
     from lidar_graph_slam_tpu.io.synthetic import (
         SyntheticSequence, make_world, simulate_scan)
 
