@@ -459,8 +459,10 @@ def bench_e2e(n_frames=360):
     pts/frame) world — sparse geometry makes the NDT odometry genuinely drift
     (~0.26 m ATE over ~660 m), so the recorded loop_on/loop_off A/B exercises what
     the back end is FOR (VERDICT r04 item 5: the old dense 2-lap course had mm-level
-    RPE and loops were accuracy-neutral on it; measured here, loops cut keyframe ATE
-    0.26 -> 0.216 on this course and 0.251 -> 0.142 on the 400-frame at-scale run,
+    RPE and loops were accuracy-neutral on it; measured here after the r05 loop
+    fixes — full-coverage submap subsampling + PCL-semantics gate — loops cut
+    keyframe ATE 0.265 -> 0.139 on this course (25 loops) and 0.274 -> 0.161 on the
+    400-frame at-scale run (28/28 attempts accepted),
     docs/at_scale_3laps_400frames.json). Dense-load throughput is measured separately
     by bench_e2e_dense. Every keyframe rebuilds the submap — the reference's worst
     case, `lidar_scan_matcher.cpp:199-212`."""

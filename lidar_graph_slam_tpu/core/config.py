@@ -178,11 +178,17 @@ class GraphSlamConfig:
     # into one solver, so the choices are ICP | GICP | NDT.
     registration_method: str = "ICP"
     loop_submap_leaf: float = 0.5           # voxel leaf for loop submap (`cpp:61,311-313`)
-    # Loop-gate fitness semantics (registration/icp.py:fitness_score): "penalized"
-    # (default; unmatched source points contribute a capped penalty — anti-gaming) or
-    # "pcl" (exact getFitnessScore parity: matched-only, uncapped — the quantity the
-    # reference's 0.3 gate was tuned against, `graph_based_slam.cpp:328`).
-    fitness_mode: str = "penalized"
+    # Loop-gate fitness semantics (registration/icp.py:fitness_score): "pcl" (default;
+    # exact getFitnessScore parity: matched-only, uncapped — the quantity the
+    # reference's 0.3 `score_threshold` was tuned against, `graph_based_slam.cpp:328`)
+    # or "penalized" (unmatched source points contribute a capped penalty —
+    # anti-gaming hardening). Default switched to "pcl" in r05: gating PENALIZED
+    # scores with the reference's PCL-calibrated 0.3 threshold rejected GENUINE loops
+    # whose viewpoints only partially overlap the candidate submap — a measured
+    # at-scale pair read 0.44 penalized vs 0.067 pcl at ground-truth alignment, i.e.
+    # the gate's meaning had silently changed. The robust loop kernel
+    # (`loop_robust_delta`) guards the accepted-but-wrong case either way.
+    fitness_mode: str = "pcl"
     # The dormant kd-tree detector's 30 s temporal gate (`graph_based_slam.cpp:210`),
     # applied by detect_loop(mode="radius") when keyframes carry stamps. 0 disables.
     temporal_gate_sec: float = 30.0

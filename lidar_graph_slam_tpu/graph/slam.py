@@ -359,21 +359,37 @@ class GraphBasedSLAM:
 
     # -- loop verification + factor insertion (§3.4) ------------------------------------
 
-    def _assemble_submap(self, center: int, half_window: int) -> np.ndarray:
+    def _assemble_submap(self, center: int, half_window: int,
+                         max_points: Optional[int] = None) -> np.ndarray:
         """Map-frame concat of keyframes [center-w, center+w] under current estimates
         (`graph_based_slam.cpp:297-309`). With a sharded cloud store this is the DCN
-        boundary: one padded allgather ships the remote keyframes."""
+        boundary: one padded allgather ships the remote keyframes.
+
+        With `max_points`, an over-budget submap is UNIFORM-STRIDE subsampled so the
+        result still spans the FULL ±window. The r05 at-scale diagnosis found the
+        previous behavior (callers head-truncating via `PointCloud.from_array`) kept
+        only the window's left edge — ~20 keyframes BEHIND the candidate — so mid-lap
+        loop verifications matched the latest scan against a submap that did not
+        contain the candidate's area at all (fitness 2.3 at a 0.12 m-accurate
+        relative pose; lap-boundary attempts escaped because their windows clip at
+        keyframe 0). Density loss is free here: every verify consumer voxel-filters
+        the submap to `loop_submap_leaf` anyway."""
         lo = max(0, center - half_window)
         hi = min(self.n_keyframes, center + half_window + 1)
         if self.cloud_store is not None:
-            return self.cloud_store.assemble_submap(
+            out = self.cloud_store.assemble_submap(
                 lo, hi, np.stack(self._poses_host))
-        poses = self._poses_host[lo:hi]
-        chunks = []
-        for k, T in zip(range(lo, hi), poses):
-            pts = self._cloud(k)
-            chunks.append(pts @ T[:3, :3].T + T[:3, 3])
-        return np.concatenate(chunks).astype(np.float32)
+        else:
+            poses = self._poses_host[lo:hi]
+            chunks = []
+            for k, T in zip(range(lo, hi), poses):
+                pts = self._cloud(k)
+                chunks.append(pts @ T[:3, :3].T + T[:3, 3])
+            out = np.concatenate(chunks).astype(np.float32)
+        if max_points is not None and out.shape[0] > max_points:
+            stride = int(np.ceil(out.shape[0] / max_points))
+            out = np.ascontiguousarray(out[::stride])
+        return out
 
     def _cloud(self, k: int) -> np.ndarray:
         """Keyframe k's sensor/base-frame cloud (allgathered when sharded — SPMD;
@@ -458,7 +474,9 @@ class GraphBasedSLAM:
         grids, pre_maps, extras, guesses = [], [], [], []
         global_diags: list[dict] = []  # RANSAC family-yield telemetry (use_global_init)
         for cand in cands:
-            submap = self._assemble_submap(cand, self.cfg.search_key_frame_num)
+            submap = self._assemble_submap(
+                cand, self.cfg.search_key_frame_num,
+                max_points=self.capacity.loop_submap_points)
             sub_cloud = PointCloud.from_array(
                 submap, capacity=self.capacity.loop_submap_points
             )

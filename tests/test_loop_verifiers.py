@@ -167,3 +167,36 @@ def test_solve_thread_error_surfaces(monkeypatch):
     with pytest.raises(RuntimeError, match="solver exploded"):
         back._finish_solve()
     assert back._solve_thread is None and back._solve_error is None
+
+
+def test_submap_subsamples_to_budget_keeping_full_window():
+    """An over-budget loop submap must UNIFORM-STRIDE subsample, never head-truncate:
+    the r05 at-scale diagnosis found head-truncation kept only the window's left edge
+    (~20 keyframes BEHIND the candidate), so mid-lap verifications matched against a
+    submap that did not contain the candidate's area (28 attempts -> 7 accepted)."""
+    from lidar_graph_slam_tpu.core.config import CapacityConfig, GraphSlamConfig
+
+    cap = CapacityConfig(max_keyframes=64, max_loop_factors=8, keyframe_points=4096)
+    back = GraphBasedSLAM(GraphSlamConfig(), cap)
+    rng = np.random.default_rng(0)
+    # 21 keyframes of 4000 points, 2 m apart along +x: window total 84k points.
+    for k in range(21):
+        pose = np.eye(4, dtype=np.float32)
+        pose[0, 3] = 2.0 * k
+        back.add_keyframe({
+            "pose": pose,
+            "cloud": rng.normal(scale=0.5, size=(4000, 3)).astype(np.float32),
+            "cloud_mask": np.ones(4000, bool),
+            "accum_distance": 2.0 * k,
+        })
+    budget = 20000
+    sub = back._assemble_submap(10, 10, max_points=budget)
+    assert sub.shape[0] <= budget
+    # Full ±window coverage: points near both edges and the center survive.
+    xs = sub[:, 0]
+    assert xs.min() < 2.0 and xs.max() > 38.0
+    for c in (0.0, 20.0, 40.0):
+        assert np.sum(np.abs(xs - c) < 2.5) > 100, f"window region {c} m lost"
+    # Under budget: untouched (no stride).
+    full = back._assemble_submap(10, 10, max_points=10**9)
+    assert full.shape[0] == 21 * 4000
