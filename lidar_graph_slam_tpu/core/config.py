@@ -189,6 +189,14 @@ class GraphSlamConfig:
     # the gate's meaning had silently changed. The robust loop kernel
     # (`loop_robust_delta`) guards the accepted-but-wrong case either way.
     fitness_mode: str = "pcl"
+    # Anti-gaming backstop for the matched-only "pcl" fitness: a verification must
+    # match at least this fraction of the source scan's points (NN within the
+    # correspondence range) to count as converged — matched-only fitness from a
+    # handful of coincidental matches can read arbitrarily low, and the factor's
+    # information weight (1/fitness) would be extreme exactly when evidence is
+    # sparsest. Genuine partial-overlap loops on the at-scale course matched ~40%;
+    # 0 disables (exact reference behavior — it has no such backstop).
+    min_loop_match_fraction: float = 0.15
     # The dormant kd-tree detector's 30 s temporal gate (`graph_based_slam.cpp:210`),
     # applied by detect_loop(mode="radius") when keyframes carry stamps. 0 disables.
     temporal_gate_sec: float = 30.0

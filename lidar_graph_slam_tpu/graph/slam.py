@@ -116,13 +116,16 @@ def make_verify_one(cfg: GraphSlamConfig, method: str):
                 max_iterations=cfg.ndt.max_iterations,
             )
         # The decision quantity is always the PCL-style fitness score (`:320-328`),
-        # computed uniformly by `fitness_score` so the 0.3 gate means the same thing
-        # for every method.
-        score = icp_mod.fitness_score(
+        # computed uniformly so the 0.3 gate means the same thing for every method.
+        # The matched-source fraction is the anti-gaming backstop for the "pcl"
+        # (matched-only) fitness semantics: a handful of coincidental matches can
+        # read arbitrarily low, so too-sparse evidence fails the convergence flag.
+        score, frac = icp_mod.fitness_and_match_fraction(
             grid, src_p, src_m, res.transform, max_range=corr_dist,
             bucket_cap=16, neighborhood=7, mode=cfg.fitness_mode,
         )
-        return res.transform, score, res.converged
+        ok = res.converged & (frac >= cfg.min_loop_match_fraction)
+        return res.transform, score, ok
 
     return one
 
@@ -387,8 +390,11 @@ class GraphBasedSLAM:
                 chunks.append(pts @ T[:3, :3].T + T[:3, 3])
             out = np.concatenate(chunks).astype(np.float32)
         if max_points is not None and out.shape[0] > max_points:
-            stride = int(np.ceil(out.shape[0] / max_points))
-            out = np.ascontiguousarray(out[::stride])
+            # Evenly-spaced index pick fills the budget EXACTLY (a ceil-stride would
+            # under-fill by up to 2x just past the threshold — a discontinuous
+            # density drop in the verify target for one extra point).
+            idx = np.linspace(0, out.shape[0] - 1, max_points).astype(np.int64)
+            out = np.ascontiguousarray(out[idx])
         return out
 
     def _cloud(self, k: int) -> np.ndarray:

@@ -146,22 +146,46 @@ def fitness_score(
       (PCL returns std::numeric_limits<double>::max()). Use for reference-parity tuning of
       the 0.3 gate. Note the grid still bounds the NN search to one cell ring, so
       max_range is effectively min(max_range, cell_size)."""
+    score, _frac = fitness_and_match_fraction(
+        target_grid, points, mask, transform, max_range,
+        bucket_cap=bucket_cap, neighborhood=neighborhood, mode=mode)
+    return score
+
+
+def fitness_and_match_fraction(
+    target_grid: HashGrid,
+    points: jax.Array,
+    mask: jax.Array,
+    transform: jax.Array,
+    max_range: float,
+    bucket_cap: int = 16,
+    neighborhood: int = 27,
+    mode: str = "penalized",
+):
+    """(fitness, matched-source fraction) from ONE NN query.
+
+    The fraction is the anti-gaming backstop for the "pcl" mode: matched-only
+    fitness can read arbitrarily low from a handful of coincidental matches, so the
+    loop gate pairs it with a minimum matched fraction
+    (`GraphSlamConfig.min_loop_match_fraction`)."""
     p = se3.transform_points(transform, points)
     _, d2, found = nearest(target_grid, p, bucket_cap=bucket_cap, neighborhood=neighborhood)
     pen = jnp.asarray(max_range * max_range, p.dtype)
+    matched = found & mask & (d2 < pen)
+    frac = jnp.sum(matched) / jnp.maximum(jnp.sum(mask), 1)
     if mode == "pcl":
-        matched = found & mask & (d2 < pen)
         n = jnp.sum(matched)
-        return jnp.where(
+        score = jnp.where(
             n > 0,
             jnp.sum(jnp.where(matched, d2, 0.0)) / jnp.maximum(n, 1),
             jnp.asarray(jnp.inf, p.dtype),
         )
+        return score, frac
     if mode != "penalized":
         raise ValueError(f"unknown fitness mode {mode!r}")
     per_pt = jnp.where(found, jnp.minimum(d2, pen), pen)
     nvalid = jnp.maximum(jnp.sum(mask), 1)
-    return jnp.sum(jnp.where(mask, per_pt, 0.0)) / nvalid
+    return jnp.sum(jnp.where(mask, per_pt, 0.0)) / nvalid, frac
 
 
 def make_icp_matcher(cfg, cell_size: float = 2.0):

@@ -25,7 +25,6 @@ def main():
     from lidar_graph_slam_tpu.core.config import PipelineConfig
     from lidar_graph_slam_tpu.io.synthetic import SyntheticSequence
     from lidar_graph_slam_tpu.pipeline.runner import SlamPipeline
-    from lidar_graph_slam_tpu.utils.evaluation import ate_rmse, rpe
     from lidar_graph_slam_tpu.utils.jit_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -52,20 +51,21 @@ def main():
     wall = time.perf_counter() - t0
     res = pipe.result()
 
-    T0_inv = np.linalg.inv(gt_poses[0])
-    gt = np.stack([(T0_inv @ p).astype(np.float32) for p in gt_poses])
-    kf_gt = gt[res.keyframe_frame_indices]
-    t_rpe, _ = rpe(res.odometry_poses, gt)
-    attempts = len(pipe.back.loop_log)
+    import bench
+
+    acc = bench._accuracy(res, gt_poses)  # the SAME metric block BENCH_r*.json uses
+    # Real attempts only: the loop_log also records the capacity-overflow sentinel
+    # (candidate=-1), which is not an attempt.
+    attempts = sum(1 for l in pipe.back.loop_log if l.get("candidate", -1) >= 0)
     out = {
         "frames": n_frames,
         "laps": 3.05,
         "keyframes": int(res.keyframe_poses.shape[0]),
         "loops_accepted": int(res.num_loop_closures),
         "loop_attempts": attempts,
-        "ate_odometry_m": round(ate_rmse(res.odometry_poses, gt, align=False), 3),
-        "ate_keyframes_m": round(ate_rmse(res.keyframe_poses, kf_gt, align=False), 3),
-        "rpe_trans_m": round(t_rpe, 4),
+        "ate_odometry_m": acc["ate_odometry_m"],
+        "ate_keyframes_m": acc["ate_keyframes_m"],
+        "rpe_trans_m": acc["rpe_trans_m"],
         "wall_s": round(wall, 1),
         "steady_fps": round(1.0 / max(float(np.median(walls)), 1e-9), 2),
         "full_run_fps": round((n_frames - 1) / wall, 2),
@@ -79,8 +79,11 @@ def main():
 
     from lidar_graph_slam_tpu.utils.viz import render_run
 
-    accepted = [(l["latest"], l["candidate"]) for l in pipe.back.loop_log if l["accepted"]]
-    rejected = [(l["latest"], l["candidate"]) for l in pipe.back.loop_log if not l["accepted"]]
+    T0_inv = np.linalg.inv(gt_poses[0])
+    gt = np.stack([(T0_inv @ p).astype(np.float32) for p in gt_poses])
+    log = [l for l in pipe.back.loop_log if l.get("candidate", -1) >= 0]
+    accepted = [(l["latest"], l["candidate"]) for l in log if l["accepted"]]
+    rejected = [(l["latest"], l["candidate"]) for l in log if not l["accepted"]]
     render_run(
         doc + ".png",
         map_points=pipe.back.assemble_map(resolution=0.3),

@@ -142,8 +142,6 @@ def test_async_backend_forced_off_multiprocess(monkeypatch):
     processes and would deadlock the collectives."""
     import jax
 
-    from lidar_graph_slam_tpu.core.config import CapacityConfig, GraphSlamConfig
-
     monkeypatch.setattr(jax, "process_count", lambda: 2)
     back = GraphBasedSLAM(GraphSlamConfig(async_backend=True), CapacityConfig())
     assert back.async_enabled is False
@@ -174,8 +172,6 @@ def test_submap_subsamples_to_budget_keeping_full_window():
     the r05 at-scale diagnosis found head-truncation kept only the window's left edge
     (~20 keyframes BEHIND the candidate), so mid-lap verifications matched against a
     submap that did not contain the candidate's area (28 attempts -> 7 accepted)."""
-    from lidar_graph_slam_tpu.core.config import CapacityConfig, GraphSlamConfig
-
     cap = CapacityConfig(max_keyframes=64, max_loop_factors=8, keyframe_points=4096)
     back = GraphBasedSLAM(GraphSlamConfig(), cap)
     rng = np.random.default_rng(0)
