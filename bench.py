@@ -358,7 +358,13 @@ def bench_pose_graph():
     `warm_ms` includes one device fetch (the public API pulls the graph off-device);
     `warm_host_ms` is the engine's production path — `GraphBasedSLAM._run_optimize`
     solves from host factor mirrors with ZERO device reads, so its warm re-solve is
-    pure host f64 (one separator-direct iteration)."""
+    pure host f64 (one separator-direct iteration).
+
+    `cold_ms` asymmetry note (r05): the L=8 cell runs FIRST for each K and absorbs
+    the one-time jit compiles of the per-shape graph fetch/write helpers (~1 s on
+    the remote compile service); the L=64 cell then reuses them. The f64 algebra
+    itself is ~150 ms for 3 iterations at K=4096 on this host, max_run-insensitive
+    (measured directly against refine64.refine)."""
     import jax
 
     from lidar_graph_slam_tpu.graph import refine64, solver
