@@ -247,3 +247,29 @@ def test_ndt_line_search_converges(rng):
     assert bool(res.converged)
     T = np.asarray(res.transform)
     assert np.linalg.norm(T[:3, 3] - pose[:3, 3]) < 0.3, T[:3, 3]
+
+
+def test_fitness_and_match_fraction(scans):
+    """The combined (score, matched-fraction) query: fraction matches a numpy oracle
+    and score equals fitness_score for both modes — the anti-gaming backstop the loop
+    gate pairs with matched-only pcl fitness."""
+    target, _ = scans
+    tc = PointCloud.from_array(target, capacity=8192)
+    grid = build_hash_grid(tc.points, tc.mask, 2.0)
+    src = np.array(target[:64], dtype=np.float32)
+    src[:, 0] += 0.05
+    src[:8] = [[999.0 + i, 999.0, 999.0] for i in range(8)]  # 8 unmatched rows
+    sc = PointCloud.from_array(src, capacity=128)
+
+    # Oracle over the 64 VALID rows (padding is mask=False and excluded by definition).
+    d2 = ((src[:, None, :] - target[None, :, :]) ** 2).sum(-1).min(1)
+    frac_oracle = float((d2 < 4.0).mean())
+
+    for mode in ("pcl", "penalized"):
+        score, frac = icp.fitness_and_match_fraction(
+            grid, sc.points, sc.mask, jnp.eye(4), max_range=2.0, mode=mode)
+        ref = float(icp.fitness_score(grid, sc.points, sc.mask, jnp.eye(4),
+                                      max_range=2.0, mode=mode))
+        assert abs(float(score) - ref) < 1e-6, mode
+        assert abs(float(frac) - frac_oracle) < 1e-6, mode
+    assert 0.8 < frac_oracle < 0.95  # the 8 outliers actually reduce it
