@@ -110,3 +110,49 @@ def test_mixed_good_and_poisoned_loops():
     poses, info = refine64.refine(view, max_iterations=25)
     ate_after = _ate(poses, gt)
     assert ate_after < 0.5 * ate_before, (ate_after, ate_before)
+
+
+def test_poisoned_loop_neutralized_through_backend():
+    """Defense-in-depth at the GraphBasedSLAM level: a gate-passing-but-WRONG factor
+    injected through the back end's own insertion path (the reference's
+    `graph_based_slam.cpp:330-341` flow) must not corrupt `optimized_poses()` — the
+    default redescending kernel rides `_run_optimize`'s f64 solve, not just the
+    solver-level API the other tests exercise."""
+    import jax.numpy as jnp
+
+    from lidar_graph_slam_tpu.core.config import CapacityConfig, GraphSlamConfig
+    from lidar_graph_slam_tpu.graph.slam import GraphBasedSLAM
+    from lidar_graph_slam_tpu.graph import solver
+
+    K = 64
+    step = 2 * np.pi / K
+    meas = refine64.se3_exp(np.tile(np.array([0, 0, step, 1.0, 0, 0]), (K, 1)))
+    rng = np.random.default_rng(1)
+    back = GraphBasedSLAM(
+        GraphSlamConfig(async_backend=False),
+        CapacityConfig(max_keyframes=K, max_loop_factors=8, keyframe_points=256),
+    )
+    T = np.eye(4)
+    gt = []
+    for k in range(K):
+        if k:
+            T = T @ meas[k]
+        gt.append(T.copy())
+        back.add_keyframe({
+            "pose": T.astype(np.float32),
+            "cloud": rng.normal(size=(64, 3)).astype(np.float32),
+            "cloud_mask": np.ones(64, bool),
+            "accum_distance": float(k) * step,
+        })
+    # Poison: claims keyframes 10 and 42 coincide (they are ~a diameter apart) with
+    # excellent fitness 0.01 -> info 100/dof, exactly as _consume_verify would insert.
+    Z = jnp.eye(4)
+    info = jnp.full((6,), 100.0, jnp.float32)
+    back.graph = solver.graph_add_loop(
+        back.graph, jnp.asarray(10), jnp.asarray(42), Z, info)
+    back._host_loops.append((10, 42, np.eye(4), np.full(6, 100.0)))
+    back.n_loops += 1
+    back._run_optimize()
+    est = back.optimized_poses()
+    err = np.linalg.norm(est[:, :3, 3] - np.stack(gt)[:, :3, 3], axis=1)
+    assert err.max() < 0.05, f"poisoned factor corrupted the backend: {err.max():.3f} m"
