@@ -171,7 +171,45 @@ def bench_scan_match_ab(fetch_overhead=None):
     out["no_pyramid_mean_iters"] = round(it, 1)
     fps, _ = bench_scan_match(base, occlusion=False, fetch_overhead=fetch_overhead)
     out["no_occlusion_fps"] = round(fps, 1)
+    out["gicp_fps"] = round(bench_scan_match_gicp(fetch_overhead=fetch_overhead), 1)
     return out
+
+
+def bench_scan_match_gicp(fetch_overhead=None):
+    """GICP scan-to-submap fps on the headline fixture — the reference's FAST_GICP
+    alternative front end (`lidar_scan_matcher.cpp:37-54`; BASELINE configs[1] names
+    "GICP scan-to-map refinement"). Per-frame source-covariance estimation is part of
+    the measured loop, as in the production fused front end. GICP's hot loop is a
+    per-iteration single-NN search over the full submap grid (vs NDT's 7-voxel
+    Gaussian gather) — structurally ~10x the memory traffic per iteration, which is
+    why NDT is the default and the fast path on this hardware."""
+    import jax.numpy as jnp
+
+    from lidar_graph_slam_tpu.core.config import GicpConfig
+    from lidar_graph_slam_tpu.registration import gicp
+
+    cfg = GicpConfig()
+    sub_cloud, scans, guesses = _scan_match_fixture()
+    build_target, align = gicp.make_gicp_matcher(cfg)
+    target = build_target(sub_cloud.points, sub_cloud.mask)
+    guesses = [jnp.asarray(g) for g in guesses]
+
+    def run(cloud, guess):
+        covs, _ = gicp.estimate_covariances(
+            cloud.points, cloud.mask, cfg.max_correspondence_distance,
+            k=cfg.correspondence_randomness)
+        return align(target, cloud.points, cloud.mask, guess, covs)
+
+    r = run(scans[0], guesses[0])  # compile
+    _fetch(r.transform)
+    if fetch_overhead is None:
+        fetch_overhead = _measure_fetch_overhead()
+    t0 = time.perf_counter()
+    for cloud, guess in zip(scans, guesses):
+        r = run(cloud, guess)
+    _fetch(r.transform)
+    dt = time.perf_counter() - t0 - fetch_overhead
+    return len(scans) / max(dt, 1e-9)
 
 
 def bench_frame_budget(fetch_overhead=None):

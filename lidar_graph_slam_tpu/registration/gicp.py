@@ -107,7 +107,7 @@ def build_gicp_target(points, mask, cell_size, k: int = 20) -> GicpTarget:
 
 
 @partial(jax.jit, static_argnames=("max_iterations", "k", "bucket_cap", "reciprocal",
-))
+                                   "neighborhood"))
 def gicp_align(
     target: GicpTarget,
     source_points: jax.Array,
@@ -121,6 +121,7 @@ def gicp_align(
     bucket_cap: int = 32,
     reciprocal: bool = False,
     source_grid: HashGrid | None = None,
+    neighborhood: int = 7,
 ) -> RegistrationResult:
     """Plane-to-plane GICP: minimize sum e^T (C_q + R C_p R^T)^-1 e over SE(3).
 
@@ -128,7 +129,15 @@ def gicp_align(
     GICP option, `lidar_scan_matcher.cpp:84-85,90`): a pair (p_i -> q_j) survives only if
     q_j's nearest neighbor among the transformed source points is p_i. NN distance is
     rigid-invariant, so the backward query runs in the SOURCE frame against a grid built
-    once from the untransformed source (`source_grid`, required when reciprocal)."""
+    once from the untransformed source (`source_grid`, required when reciprocal).
+
+    `neighborhood=7` (default) searches the face-adjacent cell ring — the same trade
+    the ICP loop verifier makes (graph/slam.py): with a previous-frame (odometry) or
+    pre-aligned (verification) guess, true correspondences sit well within a cell, and
+    the 27-cell ring costs ~4x the candidate volume per iteration for corner-case pairs
+    the `max_correspondence_distance` gate would mostly reject anyway (the r05 A/B on
+    the bench fixture: <= 1.1 cm transform delta — half the sensor noise — at 3.6x the
+    frame rate, 0.9 -> 3.2 fps). Pass 27 for the exhaustive one-ring guarantee."""
     corr2 = max_correspondence_distance * max_correspondence_distance
     n = source_points.shape[0]
     if reciprocal and source_grid is None:
@@ -138,12 +147,14 @@ def gicp_align(
         T, done, iters, _f, _n = carry
         R = T[:3, :3]
         p = se3.transform_points(T, source_points)
-        idx, d2, found = nearest(target.grid, p, bucket_cap=bucket_cap)
+        idx, d2, found = nearest(target.grid, p, bucket_cap=bucket_cap,
+                                 neighborhood=neighborhood)
         matched = found & source_mask & (d2 < corr2) & target.valid[idx]
         if reciprocal:
             # Backward NN in the source frame: T^{-1} q against the static source grid.
             q_back = se3.transform_points(se3.inverse(T), target.grid.points[idx])
-            bidx, _bd2, bfound = nearest(source_grid, q_back, bucket_cap=bucket_cap)
+            bidx, _bd2, bfound = nearest(source_grid, q_back, bucket_cap=bucket_cap,
+                                         neighborhood=neighborhood)
             back_orig = source_grid.order[bidx]  # sorted row -> original source row
             matched = matched & bfound & (back_orig == jnp.arange(n, dtype=back_orig.dtype))
 
