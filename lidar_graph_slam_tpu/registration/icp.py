@@ -203,6 +203,10 @@ def make_icp_matcher(cfg, cell_size: float = 2.0):
             max_correspondence_distance=min(cfg.max_correspondence_distance, cell_size),
             max_iterations=cfg.max_iterations,
             transform_epsilon=max(cfg.transform_epsilon, 1e-7),
+            # Odometry's previous-frame guess keeps true correspondences well within
+            # a cell — same trade as the loop verifier and gicp_align (its docstring
+            # has the measured A/B): ~4x fewer candidate distances per iteration.
+            neighborhood=7,
         )
 
     return build_target, align
